@@ -1,0 +1,146 @@
+"""Configuration dataclasses.
+
+The reference hard-codes every constant (filenames ``main.cpp:14-15``,
+Hessian threshold 8000 ``main.cpp:23``, the midpoint match filter
+``main.cpp:65``, the F-estimation method flag ``main.cpp:98``).  Here every
+knob is a frozen dataclass so configs are hashable and can be passed as
+``jax.jit`` static arguments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Keypoint detector configuration.
+
+    ``kind='hessian'`` is the SURF-class blob detector (parity with the
+    reference's ``SurfFeatureDetector(8000)``, ``main.cpp:23``);
+    ``kind='fast'`` / ``'harris'`` are the corner families (BASELINE
+    config 0 asks for an ORB-style path).
+    """
+
+    kind: str = "hessian"          # 'hessian' | 'fast' | 'harris'
+    max_keypoints: int = 512       # static keypoint capacity (padded+masked)
+    threshold: float = 8000.0      # response threshold (Hessian: parity w/ ref)
+    num_octaves: int = 4           # scale-space octaves (SURF default, ref E2)
+    layers_per_octave: int = 2     # intervals per octave (SURF default)
+    nms_radius: int = 1            # non-max suppression radius (pixels)
+    compute_orientation: bool = True
+    border: int = 16               # ignore responses within this image border
+
+
+@dataclasses.dataclass(frozen=True)
+class DescriptorConfig:
+    """Descriptor extractor configuration.
+
+    ``kind='surf'`` → 64-dim float, unit-norm (parity with reference E4);
+    ``kind='orb'``  → 256-bit binary, bit-packed into 8 uint32 words.
+    """
+
+    kind: str = "surf"             # 'surf' | 'orb'
+    patch_size: int = 20           # support window in units of keypoint scale
+    upright: bool = False          # skip orientation (SURF 'U-SURF' mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matcher configuration.
+
+    ``filter='midpoint'`` reproduces the reference's keep-if
+    ``d < min + (max-min)/2`` rule (``main.cpp:65``); ``'ratio'`` is Lowe's
+    ratio test (the modern default); ``'threshold'`` is an absolute cut.
+    """
+
+    metric: str = "l2"             # 'l2' | 'hamming' | 'dot'
+    filter: str = "ratio"          # 'ratio' | 'midpoint' | 'threshold' | 'none'
+    ratio: float = 0.8             # Lowe ratio (distance best/second-best)
+    threshold: float = 0.5         # absolute distance cut (filter='threshold')
+    cross_check: bool = False      # mutual nearest-neighbor consistency
+    max_matches: Optional[int] = None  # match-list capacity (None → N_query)
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Batched RANSAC configuration (extension beyond the reference, which
+    calls ``findFundamentalMat`` without RANSAC — ``main.cpp:95-98``)."""
+
+    num_hypotheses: int = 512      # all hypotheses evaluated in one batch
+    sample_size: int = 8           # 8-point minimal(ish) sample
+    inlier_threshold: float = 1.5  # Sampson distance threshold (pixels)
+    refit: bool = True             # least-squares refit on consensus set
+    refit_iterations: int = 2      # refit/re-gate rounds after best model
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment (Levenberg-Marquardt + Schur complement)."""
+
+    max_iterations: int = 20
+    damping_init: float = 1e-3
+    damping_up: float = 10.0
+    damping_down: float = 0.1
+    rtol: float = 1e-8             # relative cost decrease tolerance
+    huber_delta: float = 0.0       # 0 → plain L2; >0 → Huber robust loss
+    solver: str = "cholesky"       # 'cholesky' | 'pcg' (reduced camera system)
+    pcg_iterations: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for distributed execution (BASELINE configs 1, 4)."""
+
+    axes: Tuple[str, ...] = ("data",)
+    shape: Tuple[int, ...] = (1,)
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoViewConfig:
+    """End-to-end two-view pipeline (reference parity path + extensions)."""
+
+    detector: DetectorConfig = DetectorConfig()
+    descriptor: DescriptorConfig = DescriptorConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    ransac: RansacConfig = RansacConfig()
+    use_ransac: bool = True        # False → plain 8-point on all matches (ref parity)
+
+
+@dataclasses.dataclass(frozen=True)
+class SfMConfig:
+    """Incremental SfM / SLAM configuration (BASELINE configs 3, 4)."""
+
+    two_view: TwoViewConfig = TwoViewConfig()
+    ba: BAConfig = BAConfig()
+    max_cameras: int = 128
+    max_landmarks: int = 8192
+    max_observations: int = 32768
+    keyframe_min_inliers: int = 30
+    local_ba_window: int = 8
+    loop_closure_min_score: float = 0.75
+    pnp_min_inliers: int = 12
+
+
+def surf_parity_config() -> TwoViewConfig:
+    """The configuration that reproduces the reference demo's semantics:
+    SURF-class Hessian detector (threshold 8000) → 64-d float descriptors →
+    1-NN L2 match → midpoint filter → plain 8-point F (no RANSAC).
+    Reference: ``Points Matching/main.cpp:23-98``."""
+    return TwoViewConfig(
+        detector=DetectorConfig(kind="hessian", threshold=8000.0),
+        descriptor=DescriptorConfig(kind="surf"),
+        matcher=MatcherConfig(metric="l2", filter="midpoint"),
+        use_ransac=False,
+    )
+
+
+def orb_default_config() -> TwoViewConfig:
+    """BASELINE config 0: ORB-style detect + brute-force match + ratio test +
+    8-point RANSAC fundamental."""
+    return TwoViewConfig(
+        detector=DetectorConfig(kind="fast", threshold=20.0, max_keypoints=1024),
+        descriptor=DescriptorConfig(kind="orb"),
+        matcher=MatcherConfig(metric="hamming", filter="ratio", ratio=0.8),
+        use_ransac=True,
+    )

@@ -1,0 +1,271 @@
+"""Device-resident keypoint detection (implicit native component N1,
+SURVEY.md §2.2 — the TPU replacement for ``cv::SurfFeatureDetector``,
+demo call site ``Points Matching/main.cpp:23-26``).
+
+Design (TPU-first, per SURVEY.md §1.2):
+  * the scale pyramid is a stack of *convolutions at full resolution* —
+    Gaussian second-derivative (determinant-of-Hessian, SURF-class) or
+    Harris/FAST corner responses — all expressed as ``lax.conv`` /
+    ``reduce_window`` so XLA tiles them onto the MXU/VPU;
+  * non-max suppression is window-max comparison (no sequential scan);
+  * the data-dependent "how many keypoints?" is resolved by a fixed-capacity
+    ``top_k`` over the full response volume + a score/threshold mask —
+    static shapes end-to-end (the SURVEY §7 masking discipline).
+
+SURF's box-filter approximation exists to make CPU integral-image tricks
+fast; on TPU exact Gaussian derivative filters are *cheaper* (dense convs)
+and better conditioned, so we use those — same capability, native idiom.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from points_matching_tpu.core.config import DetectorConfig
+from points_matching_tpu.core.types import Keypoints
+
+
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel1d(sigma: float, radius: int, order: int = 0) -> Array:
+    """1-D Gaussian (order 0), first (1) or second (2) derivative kernel."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    g = jnp.exp(-0.5 * (x / sigma) ** 2)
+    g = g / jnp.sum(g)
+    if order == 0:
+        return g
+    if order == 1:
+        return g * (-x / sigma**2)
+    if order == 2:
+        return g * ((x**2 - sigma**2) / sigma**4)
+    raise ValueError(order)
+
+
+def _conv_sep(img: Array, ky: Array, kx: Array) -> Array:
+    """Separable 2-D convolution of [H, W] with 1-D kernels (SAME padding).
+
+    Lowered as two ``lax.conv_general_dilated`` calls — XLA maps these onto
+    the hardware convolution path.
+    """
+    x = img[None, None, :, :]  # NCHW
+    ky2 = ky[None, None, :, None]
+    kx2 = kx[None, None, None, :]
+    x = lax.conv_general_dilated(x, ky2, (1, 1), [( (ky.shape[0] - 1) // 2,) * 2, (0, 0)])
+    x = lax.conv_general_dilated(x, kx2, (1, 1), [(0, 0), ((kx.shape[0] - 1) // 2,) * 2])
+    return x[0, 0]
+
+
+def gaussian_blur(img: Array, sigma: float) -> Array:
+    r = max(1, int(math.ceil(3.0 * sigma)))
+    g = _gaussian_kernel1d(sigma, r, 0)
+    return _conv_sep(img, g, g)
+
+
+def hessian_response(img: Array, sigma: float) -> Array:
+    """Scale-normalized determinant of Hessian at scale ``sigma``.
+
+    σ⁴·(Lxx·Lyy − (0.9·Lxy)²) — the 0.9 factor mirrors SURF's box-filter
+    weight (Bay et al.), keeping our threshold scale comparable.
+    """
+    r = max(1, int(math.ceil(3.0 * sigma)))
+    g0 = _gaussian_kernel1d(sigma, r, 0)
+    g1 = _gaussian_kernel1d(sigma, r, 1)
+    g2 = _gaussian_kernel1d(sigma, r, 2)
+    Lxx = _conv_sep(img, g0, g2)
+    Lyy = _conv_sep(img, g2, g0)
+    Lxy = _conv_sep(img, g1, g1)
+    s4 = sigma**4
+    return s4 * (Lxx * Lyy - (0.9 * Lxy) ** 2)
+
+
+def harris_response(img: Array, sigma: float, k: float = 0.04) -> Array:
+    """Harris corner response at integration scale ``sigma``."""
+    gd = 0.7 * sigma
+    r = max(1, int(math.ceil(3.0 * gd)))
+    g0 = _gaussian_kernel1d(gd, r, 0)
+    g1 = _gaussian_kernel1d(gd, r, 1)
+    Ix = _conv_sep(img, g0, g1)
+    Iy = _conv_sep(img, g1, g0)
+    Sxx = gaussian_blur(Ix * Ix, sigma)
+    Syy = gaussian_blur(Iy * Iy, sigma)
+    Sxy = gaussian_blur(Ix * Iy, sigma)
+    det = Sxx * Syy - Sxy * Sxy
+    tr = Sxx + Syy
+    return sigma**2 * (det - k * tr * tr)
+
+
+_FAST_OFFSETS = (
+    (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+)
+
+
+def fast_response(img: Array, threshold: float, arc: int = 9) -> Array:
+    """FAST-N corner score (N-contiguous-pixel arc on the 16-pixel ring).
+
+    The sequential per-pixel arc test becomes a vectorized bit trick: shift
+    the whole image by the 16 ring offsets (cheap pads), build brighter /
+    darker bitmasks, and test for an N-run in the 16-bit ring word by ANDing
+    N rotations.  Score = sum of |diff| over the qualifying ring pixels.
+    """
+    ring = []
+    for dy, dx in _FAST_OFFSETS:
+        ring.append(jnp.roll(img, shift=(-dy, -dx), axis=(0, 1)))
+    ring = jnp.stack(ring, axis=0)  # [16, H, W]
+
+    diff = ring - img[None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def has_arc(bits: Array) -> Array:
+        # bits: [16, H, W] bool; arc run of length `arc` (circular)
+        acc = bits
+        for s in range(1, arc):
+            acc = jnp.logical_and(acc, jnp.roll(bits, -s, axis=0))
+        return jnp.any(acc, axis=0)
+
+    is_corner = jnp.logical_or(has_arc(brighter), has_arc(darker))
+    score = jnp.sum(jnp.where(jnp.logical_or(brighter, darker), jnp.abs(diff), 0.0), axis=0)
+    return jnp.where(is_corner, score, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Scale space + NMS + top-k
+# ---------------------------------------------------------------------------
+
+def detector_sigmas(config: DetectorConfig) -> Tuple[float, ...]:
+    """Scale ladder: SURF-like geometric progression from σ₀ = 1.2."""
+    sig = []
+    for o in range(config.num_octaves):
+        for l in range(config.layers_per_octave):
+            sig.append(1.2 * (2.0 ** (o + l / config.layers_per_octave)))
+    return tuple(sig)
+
+
+def _spatial_nms(resp: Array, radius: int) -> Array:
+    """True where resp equals the local max in a (2r+1)² window."""
+    k = 2 * radius + 1
+    mx = lax.reduce_window(
+        resp, -jnp.inf, lax.max, (1, k, k), (1, 1, 1), "SAME"
+    )
+    return resp >= mx
+
+
+def _scale_nms(resp: Array) -> Array:
+    """True where resp is ≥ its scale neighbors (3-tap over scale axis 0)."""
+    up = jnp.concatenate([resp[1:], jnp.full_like(resp[:1], -jnp.inf)], axis=0)
+    dn = jnp.concatenate([jnp.full_like(resp[:1], -jnp.inf), resp[:-1]], axis=0)
+    return jnp.logical_and(resp >= up, resp >= dn)
+
+
+def _subpixel_offsets(resp: Array) -> Tuple[Array, Array]:
+    """Per-pixel 1-D quadratic-fit offsets (dx, dy) from the response map."""
+    def parab(prev, cur, nxt):
+        denom = prev - 2.0 * cur + nxt
+        off = 0.5 * (prev - nxt) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        return jnp.clip(off, -0.5, 0.5)
+
+    rl = jnp.roll(resp, 1, axis=-1)
+    rr = jnp.roll(resp, -1, axis=-1)
+    ru = jnp.roll(resp, 1, axis=-2)
+    rd = jnp.roll(resp, -1, axis=-2)
+    return parab(rl, resp, rr), parab(ru, resp, rd)
+
+
+def _orientation(img: Array, xy: Array, scale: Array) -> Array:
+    """Dominant orientation: Gaussian-weighted average gradient direction in
+    a 6σ window (smooth analogue of SURF's Haar-sector vote,
+    reference component N1)."""
+    from points_matching_tpu.ops.sampling import bilinear_sample
+
+    # fixed 13×13 sample lattice scaled by σ
+    g = jnp.linspace(-1.0, 1.0, 13)
+    gy, gx = jnp.meshgrid(g, g, indexing="ij")
+    offs = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)  # [169, 2]
+    w = jnp.exp(-0.5 * (offs[:, 0] ** 2 + offs[:, 1] ** 2) / 0.5**2)
+
+    pts = xy[:, None, :] + 3.0 * scale[:, None, None] * offs[None]  # [N, 169, 2]
+    eps = jnp.asarray([[1.0, 0.0]])
+    epsy = jnp.asarray([[0.0, 1.0]])
+    h = jnp.maximum(scale[:, None], 1.0)
+    gx_s = (bilinear_sample(img, pts + eps * h[..., None]) -
+            bilinear_sample(img, pts - eps * h[..., None]))
+    gy_s = (bilinear_sample(img, pts + epsy * h[..., None]) -
+            bilinear_sample(img, pts - epsy * h[..., None]))
+    mx = jnp.sum(gx_s * w[None], axis=1)
+    my = jnp.sum(gy_s * w[None], axis=1)
+    return jnp.arctan2(my, mx)
+
+
+def detect_keypoints(
+    image: Array,
+    config: DetectorConfig = DetectorConfig(),
+) -> Keypoints:
+    """Detect up to ``config.max_keypoints`` keypoints (padded + masked).
+
+    Args:
+      image: [H, W] float32 grayscale in [0, 255] (reference loads 8-bit
+             images; we keep that value scale so thresholds transfer).
+
+    Returns a fixed-capacity ``Keypoints``.
+    """
+    img = image.astype(jnp.float32)
+    H, W = img.shape
+    sigmas = detector_sigmas(config)
+
+    if config.kind == "hessian":
+        resp = jnp.stack([hessian_response(img, s) for s in sigmas], axis=0)
+        thresh = config.threshold * 1e-4  # SURF box-filter units → DoH units
+    elif config.kind == "harris":
+        resp = jnp.stack([harris_response(img, s) for s in sigmas], axis=0)
+        thresh = config.threshold
+    elif config.kind == "fast":
+        base = fast_response(img, config.threshold)
+        resp = base[None]
+        sigmas = (1.0,)
+        thresh = 1e-6
+    else:
+        raise ValueError(f"unknown detector kind: {config.kind!r}")
+
+    is_peak = jnp.logical_and(_spatial_nms(resp, config.nms_radius), _scale_nms(resp))
+
+    # border + threshold mask
+    yy = jnp.arange(H)[None, :, None]
+    xx = jnp.arange(W)[None, None, :]
+    b = config.border
+    in_border = (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
+    valid = is_peak & in_border & (resp > thresh)
+
+    score_flat = jnp.where(valid, resp, -jnp.inf).reshape(-1)
+    k = config.max_keypoints
+    top_scores, top_idx = lax.top_k(score_flat, k)
+
+    s_idx = top_idx // (H * W)
+    rem = top_idx % (H * W)
+    y_idx = rem // W
+    x_idx = rem % W
+
+    dx, dy = _subpixel_offsets(resp)
+    dxv = dx.reshape(-1)[top_idx]
+    dyv = dy.reshape(-1)[top_idx]
+
+    xy = jnp.stack(
+        [x_idx.astype(jnp.float32) + dxv, y_idx.astype(jnp.float32) + dyv], axis=-1
+    )
+    scale = jnp.asarray(sigmas, jnp.float32)[s_idx]
+    mask = jnp.isfinite(top_scores)
+    score = jnp.where(mask, top_scores, 0.0)
+
+    if config.compute_orientation and config.kind != "fast":
+        angle = _orientation(img, xy, scale)
+    else:
+        angle = jnp.zeros((k,), jnp.float32)
+
+    return Keypoints(xy=xy, scale=scale, angle=angle, score=score, mask=mask)

@@ -1,0 +1,164 @@
+"""Descriptor matching as MXU GEMMs + top-k — the TPU-native replacement for
+FLANN's KD-trees (implicit native component N3, SURVEY.md §2.2; demo call
+site ``Points Matching/main.cpp:44-46``).
+
+Where FLANN builds randomized KD-trees and answers approximate 1-NN queries,
+TPUs prefer the exact brute-force form: the [N1, N2] squared-L2 matrix is
+``‖a‖² + ‖b‖² − 2 a bᵀ`` — one MXU-bound GEMM — followed by a fused row-wise
+top-k.  Exact, batched, and faster per pair than tree traversal at these
+sizes.  Binary (ORB) descriptors use popcount-Hamming on bit-packed words.
+
+Filters: Lowe ratio (default), absolute threshold, mutual cross-check, and
+the reference demo's midpoint rule ``d < min + (max−min)/2``
+(``main.cpp:49-69``) for parity.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from points_matching_tpu.core.config import MatcherConfig
+from points_matching_tpu.core.types import Descriptors, Matches
+
+_BIG = 1e30
+
+
+def _popcount(x: Array) -> Array:
+    """Per-element popcount of uint32 words (SWAR bit-twiddling — maps to a
+    handful of VPU integer ops)."""
+    x = x.astype(jnp.uint32)
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def hamming_distance_matrix(a_bits: Array, b_bits: Array) -> Array:
+    """[N1, W] × [N2, W] packed uint32 → [N1, N2] int32 Hamming distances.
+
+    XOR+popcount over the word axis.  (A Pallas kernel specializes this on
+    TPU — see ``ops/pallas/hamming.py``; this is the XLA reference form.)
+    """
+    x = jnp.bitwise_xor(a_bits[..., :, None, :], b_bits[..., None, :, :])
+    return jnp.sum(_popcount(x), axis=-1)
+
+
+def l2_distance_matrix(a: Array, b: Array) -> Array:
+    """[N1, D] × [N2, D] → [N1, N2] squared-L2 distances via the GEMM
+    identity ‖a−b‖² = ‖a‖² + ‖b‖² − 2⟨a, b⟩ (MXU path)."""
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    ab = jnp.einsum("...id,...jd->...ij", a, b, preferred_element_type=jnp.float32)
+    d2 = a2 + jnp.swapaxes(b2, -1, -2) - 2.0 * ab
+    return jnp.maximum(d2, 0.0)
+
+
+def distance_matrix(
+    d1: Descriptors, d2: Descriptors, metric: str = "l2"
+) -> Array:
+    """Masked distance matrix [N1, N2]; invalid rows/cols get +inf-like."""
+    if metric == "hamming":
+        d = hamming_distance_matrix(d1.data, d2.data).astype(jnp.float32)
+    elif metric == "l2":
+        d = l2_distance_matrix(d1.data, d2.data)
+    elif metric == "dot":
+        d = -jnp.einsum(
+            "...id,...jd->...ij", d1.data, d2.data, preferred_element_type=jnp.float32
+        )
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
+    invalid = jnp.logical_or(
+        ~d1.mask[..., :, None], ~d2.mask[..., None, :]
+    )
+    return jnp.where(invalid, _BIG, d)
+
+
+def knn_match(
+    d1: Descriptors, d2: Descriptors, k: int = 2, metric: str = "l2"
+) -> Tuple[Array, Array]:
+    """k nearest train descriptors per query row.
+
+    Returns (dist [N1, k], idx [N1, k]); distances are squared-L2 for the
+    'l2' metric (take sqrt for FLANN/DMatch parity).
+    """
+    d = distance_matrix(d1, d2, metric)
+    neg_topk, idx = jax.lax.top_k(-d, k)
+    return -neg_topk, idx
+
+
+def match_descriptors(
+    d1: Descriptors,
+    d2: Descriptors,
+    config: MatcherConfig = MatcherConfig(),
+) -> Matches:
+    """1-NN matching with the configured filter — the full replacement for
+    ``FlannBasedMatcher::match`` + the reference's min/max scan and midpoint
+    filter (``main.cpp:44-79``).
+
+    Returns a fixed-capacity Matches (capacity = query capacity, or
+    ``config.max_matches``) with surviving matches compacted to the front.
+    """
+    k = 2 if (config.filter == "ratio") else 1
+    dist, idx = knn_match(d1, d2, k=k, metric=config.metric)
+    best = dist[..., 0]
+    best_idx = idx[..., 0]
+
+    valid = jnp.logical_and(d1.mask, best < _BIG / 2)
+
+    if config.metric == "l2":
+        # FLANN reports true L2 (OpenCV takes sqrt of FLANN's squared L2) —
+        # match that so thresholds/ratios are comparable.
+        best_reported = jnp.sqrt(best)
+        second_reported = jnp.sqrt(dist[..., 1]) if k == 2 else None
+    else:
+        best_reported = best
+        second_reported = dist[..., 1] if k == 2 else None
+
+    if config.filter == "ratio":
+        keep = best_reported < config.ratio * jnp.maximum(second_reported, 1e-12)
+    elif config.filter == "midpoint":
+        # Reference rule (main.cpp:49-69): min initialized to 1, max to 0;
+        # keep d < min + (max-min)/2.
+        masked = jnp.where(valid, best_reported, jnp.inf)
+        dmin = jnp.minimum(jnp.min(masked, axis=-1, keepdims=True), 1.0)
+        masked_neg = jnp.where(valid, best_reported, -jnp.inf)
+        dmax = jnp.maximum(jnp.max(masked_neg, axis=-1, keepdims=True), 0.0)
+        keep = best_reported < dmin + (dmax - dmin) / 2.0
+    elif config.filter == "threshold":
+        keep = best_reported < config.threshold
+    elif config.filter == "none":
+        keep = jnp.ones_like(valid)
+    else:
+        raise ValueError(f"unknown filter: {config.filter!r}")
+    keep = jnp.logical_and(keep, valid)
+
+    if config.cross_check:
+        # mutual 1-NN: train j's best query must be this query i
+        dt, it = knn_match(d2, d1, k=1, metric=config.metric)
+        reverse_best = jnp.take(it[..., 0], jnp.clip(best_idx, 0, d2.capacity - 1), axis=-1)
+        qi = jnp.arange(d1.capacity)
+        keep = jnp.logical_and(keep, reverse_best == qi)
+
+    query_idx = jnp.arange(d1.capacity, dtype=jnp.int32)
+    cap = config.max_matches or d1.capacity
+    # Compact surviving matches to the front (stable) so downstream
+    # fixed-capacity consumers see a dense prefix.
+    order = jnp.argsort(jnp.where(keep, query_idx, d1.capacity + query_idx))
+    take = order[:cap]
+    return Matches(
+        query_idx=jnp.take(query_idx, take),
+        train_idx=jnp.take(best_idx, take).astype(jnp.int32),
+        distance=jnp.take(best_reported, take),
+        mask=jnp.take(keep, take),
+    )
+
+
+def match_stats(m: Matches) -> Tuple[Array, Array]:
+    """(min, max) distance over valid matches — the reference's min/max scan
+    (``main.cpp:49-59``), including its min=1 / max=0 initialization."""
+    dmin = jnp.minimum(jnp.min(jnp.where(m.mask, m.distance, jnp.inf), axis=-1), 1.0)
+    dmax = jnp.maximum(jnp.max(jnp.where(m.mask, m.distance, -jnp.inf), axis=-1), 0.0)
+    return dmin, dmax

@@ -1,0 +1,55 @@
+"""Batched-RANSAC tests (SURVEY.md §4; BASELINE configs 0-1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from points_matching_tpu.core.config import RansacConfig
+from points_matching_tpu.data.synthetic import make_two_view_scene
+from points_matching_tpu.geometry import ransac_fundamental, sampson_distance
+
+
+def test_ransac_clean_scene():
+    scene = make_two_view_scene(jax.random.PRNGKey(0), num_points=128, noise=0.3)
+    est = ransac_fundamental(jax.random.PRNGKey(1), scene.p1, scene.p2, scene.mask)
+    assert int(est.num_inliers) > 120
+    d = sampson_distance(est.F, scene.p1, scene.p2)
+    assert float(jnp.median(d)) < 1.0
+
+
+def test_ransac_with_outliers():
+    scene = make_two_view_scene(
+        jax.random.PRNGKey(2), num_points=256, noise=0.3, outlier_fraction=0.4
+    )
+    cfg = RansacConfig(num_hypotheses=1024, inlier_threshold=2.0)
+    est = ransac_fundamental(jax.random.PRNGKey(3), scene.p1, scene.p2, scene.mask, cfg)
+    # ~60% inliers in the scene; RANSAC should find most of them
+    n_in = int(est.num_inliers)
+    assert 256 * 0.45 < n_in <= 256 * 0.7
+    # recovered F must gate the true inliers: compare against true-F sampson
+    d_true = sampson_distance(scene.F, scene.p1, scene.p2)
+    true_inliers = d_true < 2.0**2
+    agree = jnp.mean(
+        (est.inlier_mask == true_inliers).astype(jnp.float32)
+    )
+    assert float(agree) > 0.9
+
+
+def test_ransac_respects_mask():
+    scene = make_two_view_scene(jax.random.PRNGKey(4), num_points=64, noise=0.2)
+    # poison half the rows, mask them out
+    p2 = scene.p2.at[32:].add(300.0)
+    mask = jnp.arange(64) < 32
+    est = ransac_fundamental(jax.random.PRNGKey(5), scene.p1, p2, mask)
+    assert not bool(jnp.any(est.inlier_mask[32:]))
+    assert int(est.num_inliers) >= 28
+
+
+def test_ransac_jit_and_deterministic():
+    scene = make_two_view_scene(jax.random.PRNGKey(6), num_points=96, noise=0.2)
+    f = jax.jit(
+        lambda k: ransac_fundamental(k, scene.p1, scene.p2, scene.mask)
+    )
+    a = f(jax.random.PRNGKey(7))
+    b = f(jax.random.PRNGKey(7))
+    assert jnp.allclose(a.F, b.F)
+    assert int(a.num_inliers) == int(b.num_inliers)
