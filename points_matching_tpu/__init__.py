@@ -18,4 +18,25 @@ Design principles (TPU-first):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the detection/matching graphs take minutes to
+# compile on TPU (Mosaic/XLA), but milliseconds to run. Caching compiled
+# executables on disk makes every process after the first start instantly.
+# Opt out with PMT_NO_COMPILE_CACHE=1; honor an explicit user-set dir.
+if not _os.environ.get("PMT_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "points_matching_tpu", "xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from points_matching_tpu.core import types, config  # noqa: F401
