@@ -1,0 +1,214 @@
+"""Bundle-adjustment and pose-graph tests (SURVEY.md §4: "BA convergence
+(cost strictly decreasing) on synthetic SfM problems")."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from points_matching_tpu.ba.lm import (
+    ba_cost,
+    bundle_adjust,
+    grid_from_obs,
+    make_ba_state,
+)
+from points_matching_tpu.ba.pose_graph import (
+    make_odometry_chain,
+    optimize_pose_graph,
+    pose_graph_cost,
+)
+from points_matching_tpu.core.config import BAConfig
+from points_matching_tpu.core.types import CameraIntrinsics, Pose
+from points_matching_tpu.data.synthetic import make_ba_problem
+from points_matching_tpu.geometry.se3 import se3_exp, se3_log, so3_exp, so3_log
+
+
+# ---------------------------------------------------------------------------
+# SE(3) maps: correctness AND differentiability at the identity — the BA
+# linearization point (a NaN here silently kills every Gauss-Newton step).
+# ---------------------------------------------------------------------------
+
+def test_so3_exp_log_roundtrip():
+    w = jnp.asarray([[0.0, 0.0, 0.0], [0.1, -0.2, 0.3], [1.5, 0.5, -0.7],
+                     [3.0, 0.4, 0.1]])
+    R = so3_exp(w)
+    w2 = so3_log(R)
+    # f32: θ/sinθ amplifies rounding as θ → π; 1e-4 rad is tight enough
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w2), atol=1e-4)
+
+
+def test_so3_log_near_pi():
+    axis = jnp.asarray([1.0, 0.0, 0.0])
+    w = axis * (jnp.pi - 1e-4)
+    R = so3_exp(w)
+    w2 = so3_log(R)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w2), atol=1e-3)
+
+
+def test_se3_exp_log_roundtrip():
+    xi = jnp.asarray([[0.0] * 6, [0.1, -0.2, 0.3, 0.05, 0.1, -0.15]])
+    R, t = se3_exp(xi)
+    xi2 = se3_log(R, t)
+    np.testing.assert_allclose(np.asarray(xi), np.asarray(xi2), atol=1e-5)
+
+
+def test_se3_exp_jacobian_finite_at_zero():
+    J = jax.jacfwd(lambda xi: se3_exp(xi)[0])(jnp.zeros(6))
+    assert np.all(np.isfinite(np.asarray(J)))
+    Jt = jax.jacfwd(lambda xi: se3_exp(xi)[1])(jnp.zeros(6))
+    assert np.all(np.isfinite(np.asarray(Jt)))
+    # dt/dv at 0 is the identity (left Jacobian V(0) = I)
+    np.testing.assert_allclose(np.asarray(Jt)[:, :3], np.eye(3), atol=1e-6)
+
+
+def test_se3_log_jacobian_finite_at_identity():
+    def f(xi):
+        R, t = se3_exp(xi)
+        return se3_log(R, t)
+
+    J = jax.jacfwd(f)(jnp.zeros(6))
+    assert np.all(np.isfinite(np.asarray(J)))
+    np.testing.assert_allclose(np.asarray(J), np.eye(6), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Bundle adjustment
+# ---------------------------------------------------------------------------
+
+def _perturbed_problem(key=3, noise=0.0, perturb=0.05):
+    prob = make_ba_problem(jax.random.PRNGKey(key), num_cameras=4,
+                           num_landmarks=48, noise=noise)
+    K = CameraIntrinsics.from_matrix(prob["K"])
+    kx, kp = jax.random.split(jax.random.PRNGKey(key + 100))
+    X0 = prob["X"] + perturb * jax.random.normal(kx, prob["X"].shape)
+    state = make_ba_state(prob["poses"], X0, prob["uv"], prob["mask"])
+    return state, K, prob
+
+
+def test_ba_reduces_cost():
+    state, K, _ = _perturbed_problem(noise=0.0)
+    cfg = BAConfig(max_iterations=15)
+    out, stats = bundle_adjust(state, K, cfg)
+    assert np.isfinite(float(stats.final_cost))
+    assert float(stats.final_cost) < 0.01 * float(stats.initial_cost)
+
+
+def test_ba_recovers_structure():
+    state, K, prob = _perturbed_problem(noise=0.0)
+    # fix TWO cameras: one pins the 6-DOF frame, the second pins the
+    # similarity gauge's scale DOF — otherwise structure drifts in scale
+    state = make_ba_state(state.poses, state.X, state.uv, state.mask,
+                          num_fixed_cameras=2)
+    out, _ = bundle_adjust(state, K, BAConfig(max_iterations=30))
+    # noise-free observations → landmarks return to ground truth (to f32 LM
+    # convergence tolerance; the depth scale is ~10 world units)
+    np.testing.assert_allclose(
+        np.asarray(out.X), np.asarray(prob["X"]), atol=5e-2
+    )
+
+
+def test_ba_with_noise_monotone():
+    state, K, _ = _perturbed_problem(noise=0.5)
+    out, stats = bundle_adjust(state, K, BAConfig(max_iterations=10))
+    assert float(stats.final_cost) <= float(stats.initial_cost)
+    assert np.isfinite(float(stats.final_cost))
+
+
+def test_ba_pcg_single_solve_matches_cholesky():
+    from points_matching_tpu.ba.residuals import (
+        huber_weights,
+        residuals_and_jacobians,
+    )
+    from points_matching_tpu.ba.schur import (
+        build_normal_equations,
+        solve_schur,
+        solve_schur_pcg,
+    )
+
+    state, K, _ = _perturbed_problem(noise=0.0)
+    r, Jc, Jl = residuals_and_jacobians(state.poses, state.X, state.uv,
+                                        state.mask, K)
+    w = huber_weights(r, 0.0) * state.mask.astype(r.dtype)
+    blocks = build_normal_equations(r, Jc, Jl, w)
+    lam = jnp.asarray(1e-3)
+    dc_c, dl_c = solve_schur(blocks, lam)
+    dc_p, dl_p = solve_schur_pcg(blocks, lam, 100)
+    np.testing.assert_allclose(np.asarray(dc_c), np.asarray(dc_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dl_c), np.asarray(dl_p), atol=1e-5)
+
+
+def test_ba_pcg_solver_converges():
+    state, K, _ = _perturbed_problem(noise=0.0)
+    # LM accept/reject trajectories diverge chaotically on solver rounding,
+    # so compare convergence quality, not trajectories.
+    out_p, st_p = bundle_adjust(state, K, BAConfig(max_iterations=8, solver="pcg",
+                                                   pcg_iterations=60))
+    assert float(st_p.final_cost) < 0.01 * float(st_p.initial_cost)
+
+
+def test_ba_huber_robust_to_outliers():
+    state, K, _ = _perturbed_problem(noise=0.0)
+    # corrupt a few observations hard
+    uv = state.uv.at[1, :3].add(80.0)
+    state = state.replace(uv=uv)
+    out_l2, _ = bundle_adjust(state, K, BAConfig(max_iterations=15))
+    out_hub, _ = bundle_adjust(state, K, BAConfig(max_iterations=15, huber_delta=2.0))
+    _, _, prob = _perturbed_problem(noise=0.0)
+    err_l2 = float(jnp.mean(jnp.abs(out_l2.X - prob["X"])))
+    err_hub = float(jnp.mean(jnp.abs(out_hub.X - prob["X"])))
+    assert err_hub < err_l2
+
+
+def test_grid_from_obs_roundtrip():
+    C, L = 3, 5
+    cam = jnp.asarray([0, 1, 2, 1], jnp.int32)
+    lm = jnp.asarray([0, 2, 4, 3], jnp.int32)
+    uv = jnp.arange(8.0).reshape(4, 2)
+    m = jnp.asarray([True, True, False, True])
+    uv_g, m_g = grid_from_obs(cam, lm, uv, m, C, L)
+    assert uv_g.shape == (C, L, 2) and m_g.shape == (C, L)
+    assert bool(m_g[0, 0]) and bool(m_g[1, 2]) and bool(m_g[1, 3])
+    assert not bool(m_g[2, 4])  # masked-out observation dropped
+    np.testing.assert_allclose(np.asarray(uv_g[1, 2]), [2.0, 3.0])
+
+
+# ---------------------------------------------------------------------------
+# Pose-graph optimization
+# ---------------------------------------------------------------------------
+
+def _circle_poses(n=12, radius=2.0):
+    ang = jnp.linspace(0.0, 1.5 * jnp.pi, n)
+    wvecs = jnp.stack([jnp.zeros_like(ang), ang, jnp.zeros_like(ang)], -1)
+    R = so3_exp(wvecs)
+    t = jnp.stack([radius * jnp.cos(ang), jnp.zeros_like(ang),
+                   radius * jnp.sin(ang)], -1)
+    return Pose(R=R.astype(jnp.float32), t=t.astype(jnp.float32))
+
+
+def test_pose_graph_perfect_measurements_zero_cost():
+    gt = _circle_poses()
+    g = make_odometry_chain(gt, jax.random.PRNGKey(0), odom_noise=0.0)
+    assert float(pose_graph_cost(g)) < 1e-8
+    out, stats = optimize_pose_graph(g, max_iterations=3)
+    assert float(stats.final_cost) < 1e-8
+
+
+def test_pose_graph_corrects_drift_with_loop_closure():
+    gt = _circle_poses(n=12)
+    key = jax.random.PRNGKey(5)
+    g = make_odometry_chain(gt, key, odom_noise=0.02,
+                            loop_edges=((0, 11), (0, 6)), loop_weight=20.0)
+    # perturb initial guess by integrating the noisy odometry from pose 0
+    poses = [jax.tree.map(lambda a: a[0], gt.poses if hasattr(gt, 'poses') else gt)]
+    for e in range(11):
+        Zi = jax.tree.map(lambda a: a[e], g.Z)
+        nxt = Zi.inverse().compose(poses[-1])
+        poses.append(nxt)
+    init = Pose(R=jnp.stack([p.R for p in poses]), t=jnp.stack([p.t for p in poses]))
+    g0 = g.replace(poses=init)
+    c0 = float(pose_graph_cost(g0))
+    out, stats = optimize_pose_graph(g0, max_iterations=20)
+    assert float(stats.final_cost) < 0.5 * max(c0, 1e-12) or c0 < 1e-10
+    # trajectory error vs ground truth shrinks
+    err_before = float(jnp.mean(jnp.linalg.norm(init.t - gt.t, axis=-1)))
+    err_after = float(jnp.mean(jnp.linalg.norm(out.poses.t - gt.t, axis=-1)))
+    assert err_after <= err_before
