@@ -23,10 +23,11 @@ import os as _os
 import jax as _jax
 
 # Persistent compilation cache: the detection/matching graphs take minutes to
-# compile on TPU (Mosaic/XLA), but milliseconds to run. Caching compiled
-# executables on disk makes every process after the first start instantly.
-# Opt out with PMT_NO_COMPILE_CACHE=1; honor an explicit user-set dir.
-if not _os.environ.get("PMT_NO_COMPILE_CACHE"):
+# compile on TPU (Mosaic/XLA), but milliseconds to run. Opt-IN via
+# PMT_COMPILE_CACHE=1: the experimental 'axon' TPU plugin hangs at runtime
+# when the cache is active (observed: compile completes and is written, then
+# execution never starts), so it must not be on by default there.
+if _os.environ.get("PMT_COMPILE_CACHE"):
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "points_matching_tpu", "xla"),

@@ -26,3 +26,8 @@ from points_matching_tpu.geometry.pose import (  # noqa: F401
 )
 from points_matching_tpu.geometry.triangulate import triangulate_dlt  # noqa: F401
 from points_matching_tpu.geometry.ransac import ransac_fundamental  # noqa: F401
+from points_matching_tpu.geometry.pnp import (  # noqa: F401
+    pnp_dlt,
+    pnp_refine,
+    ransac_pnp,
+)

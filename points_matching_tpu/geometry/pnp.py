@@ -1,0 +1,165 @@
+"""Perspective-n-Point: camera pose from 2D↔3D correspondences.
+
+Needed by incremental SfM registration (SURVEY.md §7 stage 7); absent in
+the reference (it never leaves two views).  TPU-native shape: the DLT solve
+is a batched 12×12 eigenproblem under ``vmap``; RANSAC evaluates ALL
+hypotheses at once like ``geometry/ransac.py``; refinement is a fixed-count
+Gauss-Newton loop on the SE(3) tangent (no data-dependent control flow).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from points_matching_tpu.core.types import Pose
+from points_matching_tpu.geometry.se3 import se3_exp
+
+
+def pnp_dlt(X: Array, uv_norm: Array, weights: Array | None = None) -> Pose:
+    """Direct linear transform PnP (≥6 points).
+
+    Args:
+      X:       [..., N, 3] world points.
+      uv_norm: [..., N, 2] normalized camera coordinates (K⁻¹ applied).
+      weights: [..., N] optional weights/mask.
+
+    Returns world→camera Pose (R orthonormalized via SVD, t scaled so that
+    the projection is consistent; cheirality-corrected sign).
+    """
+    N = X.shape[-2]
+    if weights is None:
+        weights = jnp.ones(X.shape[:-1], X.dtype)
+    w = weights[..., None]
+
+    ones = jnp.ones(X.shape[:-1] + (1,), X.dtype)
+    Xh = jnp.concatenate([X, ones], axis=-1)  # [..., N, 4]
+    z = jnp.zeros_like(Xh)
+    u = uv_norm[..., 0:1]
+    v = uv_norm[..., 1:2]
+    # rows: [X 0 -u·X], [0 X -v·X]
+    r1 = jnp.concatenate([Xh, z, -u * Xh], axis=-1) * w
+    r2 = jnp.concatenate([z, Xh, -v * Xh], axis=-1) * w
+    A = jnp.concatenate([r1, r2], axis=-2)  # [..., 2N, 12]
+
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[..., :, 0]  # smallest eigenvector
+    P = p.reshape(p.shape[:-1] + (3, 4))
+
+    M = P[..., :3]
+    # sign: points must be in front — use the mean cheirality
+    depth = jnp.einsum("...ij,...nj->...ni", M, X)[..., 2] + P[..., 2, 3][..., None]
+    sign = jnp.where(jnp.sum(jnp.sign(depth) * weights, axis=-1) < 0, -1.0, 1.0)
+    P = P * sign[..., None, None]
+    M = P[..., :3]
+
+    # nearest rotation (polar decomposition via SVD) + consistent scale
+    U, s, Vt = jnp.linalg.svd(M)
+    R = U @ Vt
+    detR = jnp.linalg.det(R)
+    Vt_fix = Vt * jnp.stack(
+        [jnp.ones_like(detR), jnp.ones_like(detR), detR], axis=-1
+    )[..., :, None]
+    R = U @ Vt_fix
+    scale = jnp.mean(s, axis=-1)
+    t = P[..., 3] / jnp.maximum(scale, 1e-12)[..., None]
+    return Pose(R=R, t=t)
+
+
+def pnp_refine(
+    pose: Pose,
+    X: Array,
+    uv_norm: Array,
+    weights: Array,
+    iterations: int = 5,
+    damping: float = 1e-6,
+) -> Pose:
+    """Fixed-count Gauss-Newton refinement of a PnP pose (normalized
+    coordinates; minimizes masked reprojection error)."""
+
+    def residual(pose):
+        Xc = pose.transform(X)
+        z = jnp.maximum(Xc[..., 2:3], 1e-6)
+        return (Xc[..., :2] / z - uv_norm) * weights[..., None]
+
+    def step(i, pose):
+        z6 = jnp.zeros((6,), X.dtype)
+
+        def r_of_xi(xi):
+            Rd, td = se3_exp(xi)
+            p = Pose(R=Rd @ pose.R, t=Rd @ pose.t + td)
+            return residual(p).reshape(-1)
+
+        r = r_of_xi(z6)
+        J = jax.jacfwd(r_of_xi)(z6)
+        H = J.T @ J + damping * jnp.eye(6, dtype=X.dtype)
+        g = -J.T @ r
+        dx = jnp.linalg.solve(H, g)
+        Rd, td = se3_exp(dx)
+        return Pose(R=Rd @ pose.R, t=Rd @ pose.t + td)
+
+    return jax.lax.fori_loop(0, iterations, step, pose)
+
+
+class PnPResult(NamedTuple):
+    pose: Pose
+    inlier_mask: Array
+    num_inliers: Array
+
+
+def ransac_pnp(
+    key: Array,
+    X: Array,
+    uv_norm: Array,
+    mask: Array,
+    num_hypotheses: int = 256,
+    sample_size: int = 6,
+    inlier_threshold: float = 0.01,
+    refine_iterations: int = 5,
+) -> PnPResult:
+    """Batched-hypothesis RANSAC PnP with GN refinement on the consensus.
+
+    Args:
+      X:       [N, 3] world points; uv_norm: [N, 2] normalized image coords.
+      mask:    [N] valid correspondences.
+      inlier_threshold: reprojection error in *normalized* units
+                        (pixels / focal length).
+    """
+    mask = mask.astype(bool)
+    n = X.shape[0]
+
+    g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
+    scores = g + jnp.where(mask, 0.0, -1e30)[None, :]
+    _, idx = jax.lax.top_k(scores, sample_size)
+    sX = jnp.take(X, idx, axis=0)          # [H, S, 3]
+    suv = jnp.take(uv_norm, idx, axis=0)   # [H, S, 2]
+
+    poses = pnp_dlt(sX, suv)               # batched over H
+
+    def reproj_err(pose):
+        Xc = pose.transform(X)
+        z = Xc[..., 2:3]
+        ok_z = z[..., 0] > 1e-3
+        uv = Xc[..., :2] / jnp.maximum(z, 1e-6)
+        e = jnp.linalg.norm(uv - uv_norm, axis=-1)
+        return jnp.where(ok_z, e, jnp.inf)
+
+    errs = jax.vmap(reproj_err)(poses)     # [H, N]
+    inl = jnp.logical_and(errs < inlier_threshold, mask[None])
+    counts = jnp.sum(inl.astype(jnp.int32), axis=-1)
+    best = jnp.argmax(counts)
+    pose = jax.tree.map(lambda a: a[best], poses)
+    best_inl = inl[best]
+
+    w = best_inl.astype(X.dtype)
+    pose = pnp_refine(pose, X, uv_norm, w, iterations=refine_iterations)
+    errs_f = reproj_err(pose)
+    final_inl = jnp.logical_and(errs_f < inlier_threshold, mask)
+    return PnPResult(
+        pose=pose,
+        inlier_mask=final_inl,
+        num_inliers=jnp.sum(final_inl.astype(jnp.int32)),
+    )

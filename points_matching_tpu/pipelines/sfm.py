@@ -1,0 +1,451 @@
+"""Incremental SfM / SLAM on one host (SURVEY.md §7 stage 7; BASELINE
+config 3: "100-frame sequence — incremental registration, local BA,
+pose-graph loop closure on one host").
+
+Architecture (SURVEY.md §3.2 ``sfm_incremental`` and the §7 "host loop vs
+device loop" hard part): the map lives on device in fixed-capacity arrays
+(static shapes + masks); each per-frame step — landmark matching (GEMM),
+RANSAC PnP registration, observation append, two-view triangulation of new
+landmarks — is ONE jitted function; the host loop only sequences frames and
+decides when to run the (also jitted) local-BA window.  Host↔device traffic
+per frame is keypoints + descriptors in, a pose + scalar stats out.
+
+The reference has none of this (it stops at one F matrix); the design goes
+straight to the BASELINE north-star capabilities.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from points_matching_tpu.ba.lm import bundle_adjust, grid_from_obs, make_ba_state
+from points_matching_tpu.core.config import BAConfig, MatcherConfig, RansacConfig, SfMConfig
+from points_matching_tpu.core.types import (
+    CameraIntrinsics,
+    Descriptors,
+    Keypoints,
+    Pose,
+)
+from points_matching_tpu.geometry.pnp import ransac_pnp
+from points_matching_tpu.geometry.fundamental import essential_from_fundamental
+from points_matching_tpu.geometry.pose import recover_pose
+from points_matching_tpu.geometry.ransac import ransac_fundamental
+from points_matching_tpu.geometry.triangulate import triangulate_dlt
+from points_matching_tpu.ops.matching import match_descriptors
+
+
+@struct.dataclass
+class SfMState:
+    """Device-resident incremental-SfM map (all capacities static).
+
+    Attributes:
+      poses:    Pose [C] world→camera per registered frame.
+      cam_mask: [C] bool — registered frames.
+      X:        [L, 3] landmark positions.
+      lm_mask:  [L] bool.
+      lm_desc:  [L, D] last-seen descriptor per landmark (for 2D↔3D match).
+      obs_cam/obs_lm/obs_uv/obs_mask: [O]-capacity observation list.
+      prev_kps_xy / prev_desc / prev_mask: previous frame's features (for
+        triangulating new landmarks against).
+      num_cams / num_lms / num_obs: scalar int32 write cursors.
+    """
+
+    poses: Pose
+    cam_mask: Array
+    X: Array
+    lm_mask: Array
+    lm_desc: Array
+    obs_cam: Array
+    obs_lm: Array
+    obs_uv: Array
+    obs_mask: Array
+    prev_kps_xy: Array
+    prev_desc: Array
+    prev_mask: Array
+    num_cams: Array
+    num_lms: Array
+    num_obs: Array
+
+
+def init_sfm_state(config: SfMConfig, num_features: int, desc_dim: int) -> SfMState:
+    C, L, O = config.max_cameras, config.max_landmarks, config.max_observations
+    return SfMState(
+        poses=Pose.identity((C,)),
+        cam_mask=jnp.zeros((C,), bool),
+        X=jnp.zeros((L, 3), jnp.float32),
+        lm_mask=jnp.zeros((L,), bool),
+        lm_desc=jnp.zeros((L, desc_dim), jnp.float32),
+        obs_cam=jnp.zeros((O,), jnp.int32),
+        obs_lm=jnp.zeros((O,), jnp.int32),
+        obs_uv=jnp.zeros((O, 2), jnp.float32),
+        obs_mask=jnp.zeros((O,), bool),
+        prev_kps_xy=jnp.zeros((num_features, 2), jnp.float32),
+        prev_desc=jnp.zeros((num_features, desc_dim), jnp.float32),
+        prev_mask=jnp.zeros((num_features,), bool),
+        num_cams=jnp.asarray(0, jnp.int32),
+        num_lms=jnp.asarray(0, jnp.int32),
+        num_obs=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-capacity append helpers (scatter with drop-on-overflow)
+# ---------------------------------------------------------------------------
+
+def _append_positions(capacity: int, cursor: Array, rows_mask: Array) -> Array:
+    """Target slot per input row: cursor + rank among valid rows.
+
+    Invalid/overflowing rows get ``capacity`` — out of range on purpose, so
+    every scatter can write UNCONDITIONALLY with ``mode="drop"``.  (Routing
+    rejects to a real slot like 0 is a correctness trap: XLA scatter order
+    for duplicate indices is undefined, so a reject could clobber a valid
+    write landing on the same slot.)
+    """
+    rank = jnp.cumsum(rows_mask.astype(jnp.int32)) - 1
+    pos = cursor + rank
+    ok = jnp.logical_and(rows_mask, pos < capacity)
+    return jnp.where(ok, pos, capacity)
+
+
+# ---------------------------------------------------------------------------
+# Jitted SfM steps
+# ---------------------------------------------------------------------------
+
+class StepStats(NamedTuple):
+    registered: Array       # bool — frame accepted
+    num_pnp_inliers: Array
+    num_new_landmarks: Array
+    pose: Pose
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def bootstrap_two_view(
+    state: SfMState,
+    kps1_xy: Array, desc1: Array, mask1: Array,
+    kps2_xy: Array, desc2: Array, mask2: Array,
+    K: CameraIntrinsics,
+    key: Array,
+    config: SfMConfig,
+) -> Tuple[SfMState, StepStats]:
+    """Initialize the map from the first two frames: match → RANSAC F → E →
+    pose recovery (cheirality) → triangulation (BASELINE config 2 inside)."""
+    tv = config.two_view
+    matches = match_descriptors(
+        Descriptors(data=desc1, mask=mask1),
+        Descriptors(data=desc2, mask=mask2),
+        tv.matcher,
+    )
+    n1 = kps1_xy.shape[0]
+    p1 = jnp.take(kps1_xy, jnp.clip(matches.query_idx, 0, n1 - 1), axis=0)
+    p2 = jnp.take(kps2_xy, jnp.clip(matches.train_idx, 0, n1 - 1), axis=0)
+
+    est = ransac_fundamental(key, p1, p2, matches.mask, tv.ransac)
+    E = essential_from_fundamental(est.F, K.matrix(), K.matrix())
+    p1n = K.normalize_points(p1)
+    p2n = K.normalize_points(p2)
+    w = jnp.logical_and(matches.mask, est.inlier_mask)
+    pose2, X_cam1, cheir = recover_pose(E, p1n, p2n, w)
+    good = jnp.logical_and(w, cheir)
+
+    # depth sanity: drop points behind/too far (dimensionless scale: |t|=1)
+    z = X_cam1[..., 2]
+    good = jnp.logical_and(good, jnp.logical_and(z > 0.05, z < 100.0))
+
+    # landmarks (world frame = cam-1 frame)
+    d_new = jnp.take(desc1, jnp.clip(matches.query_idx, 0, n1 - 1), axis=0)
+    L_cap = state.X.shape[0]
+    safe = _append_positions(L_cap, state.num_lms, good)  # rejects → L_cap (dropped)
+    ok = safe < L_cap
+    X_new = state.X.at[safe].set(X_cam1, mode="drop")
+    lm_mask_new = state.lm_mask.at[safe].set(True, mode="drop")
+    lm_desc_new = state.lm_desc.at[safe].set(d_new, mode="drop")
+    num_lms = jnp.minimum(
+        state.num_lms + jnp.sum(good.astype(jnp.int32)), state.X.shape[0]
+    ).astype(jnp.int32)
+
+    # observations: cam 0 sees (p1), cam 1 sees (p2)
+    def add_obs(state_obs, cam_idx, uv):
+        obs_cam, obs_lm, obs_uv, obs_mask, cursor = state_obs
+        sp = _append_positions(obs_cam.shape[0], cursor, ok)
+        obs_cam = obs_cam.at[sp].set(cam_idx, mode="drop")
+        obs_lm = obs_lm.at[sp].set(safe, mode="drop")
+        obs_uv = obs_uv.at[sp].set(uv, mode="drop")
+        obs_mask = obs_mask.at[sp].set(True, mode="drop")
+        cursor = jnp.minimum(cursor + jnp.sum(ok.astype(jnp.int32)),
+                             obs_cam.shape[0]).astype(jnp.int32)
+        return (obs_cam, obs_lm, obs_uv, obs_mask, cursor)
+
+    obs = (state.obs_cam, state.obs_lm, state.obs_uv, state.obs_mask, state.num_obs)
+    obs = add_obs(obs, 0, p1)
+    obs = add_obs(obs, 1, p2)
+
+    poses = jax.tree.map(
+        lambda a, b: a.at[1].set(b), state.poses,
+        jax.tree.map(lambda x: x, pose2),
+    )
+    cam_mask = state.cam_mask.at[0].set(True).at[1].set(True)
+
+    new_state = state.replace(
+        poses=poses,
+        cam_mask=cam_mask,
+        X=X_new, lm_mask=lm_mask_new, lm_desc=lm_desc_new,
+        obs_cam=obs[0], obs_lm=obs[1], obs_uv=obs[2], obs_mask=obs[3],
+        num_obs=obs[4],
+        num_lms=num_lms,
+        prev_kps_xy=kps2_xy, prev_desc=desc2, prev_mask=mask2,
+        num_cams=jnp.asarray(2, jnp.int32),
+    )
+    n_new = jnp.sum(good.astype(jnp.int32))
+    stats = StepStats(
+        registered=n_new >= config.keyframe_min_inliers,
+        num_pnp_inliers=est.num_inliers,
+        num_new_landmarks=n_new,
+        pose=pose2,
+    )
+    return new_state, stats
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def register_frame(
+    state: SfMState,
+    kps_xy: Array, desc: Array, fmask: Array,
+    K: CameraIntrinsics,
+    key: Array,
+    config: SfMConfig,
+) -> Tuple[SfMState, StepStats]:
+    """Register one new frame against the map:
+
+    1. 2D↔3D: frame descriptors vs landmark descriptors (masked GEMM + ratio)
+    2. RANSAC PnP (normalized coords) + GN refinement → pose
+    3. append observations for PnP inliers; refresh landmark descriptors
+    4. new landmarks: frame↔previous-frame matches not yet in the map,
+       triangulated from the two registered poses
+    """
+    cam_idx = state.num_cams
+    k_pnp, k_f = jax.random.split(key)
+
+    # -- 1. match against landmarks ---------------------------------------
+    m3d = match_descriptors(
+        Descriptors(data=desc, mask=fmask),
+        Descriptors(data=state.lm_desc, mask=state.lm_mask),
+        config.two_view.matcher,
+    )
+    L = state.X.shape[0]
+    n = kps_xy.shape[0]
+    lm_idx = jnp.clip(m3d.train_idx, 0, L - 1)
+    X3d = jnp.take(state.X, lm_idx, axis=0)
+    uv = jnp.take(kps_xy, jnp.clip(m3d.query_idx, 0, n - 1), axis=0)
+    uvn = K.normalize_points(uv)
+
+    # -- 2. PnP ------------------------------------------------------------
+    pnp = ransac_pnp(
+        k_pnp, X3d, uvn, m3d.mask,
+        num_hypotheses=config.two_view.ransac.num_hypotheses,
+        inlier_threshold=config.two_view.ransac.inlier_threshold
+        / jnp.maximum(K.fx, 1.0),
+    )
+    registered = pnp.num_inliers >= config.pnp_min_inliers
+
+    # -- 3. observations + descriptor refresh ------------------------------
+    O_cap = state.obs_cam.shape[0]
+    good_obs = jnp.logical_and(jnp.logical_and(pnp.inlier_mask, m3d.mask),
+                               registered)
+    sp = _append_positions(O_cap, state.num_obs, good_obs)
+    obs_cam = state.obs_cam.at[sp].set(cam_idx, mode="drop")
+    obs_lm = state.obs_lm.at[sp].set(lm_idx, mode="drop")
+    obs_uv = state.obs_uv.at[sp].set(uv, mode="drop")
+    obs_mask = state.obs_mask.at[sp].set(True, mode="drop")
+    num_obs = jnp.minimum(
+        state.num_obs + jnp.sum(good_obs.astype(jnp.int32)), O_cap
+    ).astype(jnp.int32)
+
+    d_seen = jnp.take(desc, jnp.clip(m3d.query_idx, 0, n - 1), axis=0)
+    upd = jnp.logical_and(good_obs, registered)
+    lm_desc = state.lm_desc.at[jnp.where(upd, lm_idx, L)].set(
+        jnp.where(upd[:, None], d_seen, 0.0), mode="drop"
+    )
+
+    # -- 4. new landmarks from prev-frame triangulation ---------------------
+    m2d = match_descriptors(
+        Descriptors(data=desc, mask=fmask),
+        Descriptors(data=state.prev_desc, mask=state.prev_mask),
+        config.two_view.matcher,
+    )
+    # frame keypoints already matched to a landmark are not new
+    matched_to_map = jnp.zeros((n,), bool).at[
+        jnp.where(good_obs, jnp.clip(m3d.query_idx, 0, n - 1), n)
+    ].set(True, mode="drop")
+    cand = jnp.logical_and(
+        m2d.mask, ~jnp.take(matched_to_map, jnp.clip(m2d.query_idx, 0, n - 1))
+    )
+
+    prev_cam = cam_idx - 1
+    prev_pose = jax.tree.map(lambda a: a[jnp.maximum(prev_cam, 0)], state.poses)
+    P1 = prev_pose.matrix34()
+    P2 = pnp.pose.matrix34()
+    uv_c = jnp.take(kps_xy, jnp.clip(m2d.query_idx, 0, n - 1), axis=0)
+    uv_p = jnp.take(state.prev_kps_xy, jnp.clip(m2d.train_idx, 0, n - 1), axis=0)
+    Xn, cheir = triangulate_dlt(P1, P2, K.normalize_points(uv_p),
+                                K.normalize_points(uv_c))
+    zc = pnp.pose.transform(Xn)[..., 2]
+    new_ok = jnp.logical_and(jnp.logical_and(cand, cheir),
+                             jnp.logical_and(zc > 0.05, zc < 100.0))
+    new_ok = jnp.logical_and(new_ok, registered)
+
+    lsp = _append_positions(L, state.num_lms, new_ok)  # rejects → L (dropped)
+    lok = lsp < L
+    d_new = jnp.take(desc, jnp.clip(m2d.query_idx, 0, n - 1), axis=0)
+    X_new = state.X.at[lsp].set(Xn, mode="drop")
+    lm_mask_new = state.lm_mask.at[lsp].set(True, mode="drop")
+    lm_desc = lm_desc.at[lsp].set(d_new, mode="drop")
+    num_lms = jnp.minimum(
+        state.num_lms + jnp.sum(new_ok.astype(jnp.int32)), L
+    ).astype(jnp.int32)
+
+    # two observations for each new landmark (prev cam + this cam)
+    def add_obs(carry, cam_i, uv_i):
+        obs_cam, obs_lm, obs_uv, obs_mask, cursor = carry
+        s2 = _append_positions(obs_cam.shape[0], cursor, lok)
+        obs_cam = obs_cam.at[s2].set(cam_i, mode="drop")
+        obs_lm = obs_lm.at[s2].set(lsp, mode="drop")
+        obs_uv = obs_uv.at[s2].set(uv_i, mode="drop")
+        obs_mask = obs_mask.at[s2].set(True, mode="drop")
+        cursor = jnp.minimum(cursor + jnp.sum(lok.astype(jnp.int32)),
+                             obs_cam.shape[0]).astype(jnp.int32)
+        return (obs_cam, obs_lm, obs_uv, obs_mask, cursor)
+
+    obs = (obs_cam, obs_lm, obs_uv, obs_mask, num_obs)
+    obs = add_obs(obs, prev_cam, uv_p)
+    obs = add_obs(obs, cam_idx, uv_c)
+
+    # -- write pose --------------------------------------------------------
+    poses = jax.tree.map(
+        lambda a, b: a.at[cam_idx].set(jnp.where(registered, b, a[cam_idx])),
+        state.poses, pnp.pose,
+    )
+    cam_mask = state.cam_mask.at[cam_idx].set(registered)
+    num_cams = jnp.where(registered, cam_idx + 1, state.num_cams).astype(jnp.int32)
+
+    new_state = state.replace(
+        poses=poses, cam_mask=cam_mask,
+        X=X_new, lm_mask=lm_mask_new, lm_desc=lm_desc,
+        obs_cam=obs[0], obs_lm=obs[1], obs_uv=obs[2], obs_mask=obs[3],
+        num_obs=obs[4], num_lms=num_lms, num_cams=num_cams,
+        prev_kps_xy=jnp.where(registered, kps_xy, state.prev_kps_xy),
+        prev_desc=jnp.where(registered, desc, state.prev_desc),
+        prev_mask=jnp.where(registered, fmask, state.prev_mask),
+    )
+    stats = StepStats(
+        registered=registered,
+        num_pnp_inliers=pnp.num_inliers,
+        num_new_landmarks=jnp.sum(new_ok.astype(jnp.int32)),
+        pose=pnp.pose,
+    )
+    return new_state, stats
+
+
+@functools.partial(jax.jit, static_argnames=("config", "window"))
+def local_bundle_adjust(
+    state: SfMState,
+    K: CameraIntrinsics,
+    config: SfMConfig,
+    window: int = 8,
+) -> Tuple[SfMState, Array]:
+    """Windowed BA over the last ``window`` registered cameras (+ their
+    landmarks).  Cameras outside the window and the window's first camera
+    are gauge-fixed; landmark updates apply only to observed-in-window ones.
+    """
+    C = state.cam_mask.shape[0]
+    L = state.X.shape[0]
+    first = jnp.maximum(state.num_cams - window, 0)
+
+    in_win = jnp.logical_and(
+        jnp.arange(C) >= first, jnp.arange(C) < state.num_cams
+    )
+    obs_in = jnp.logical_and(
+        state.obs_mask, jnp.take(in_win, jnp.clip(state.obs_cam, 0, C - 1))
+    )
+
+    uv_grid, m_grid = grid_from_obs(
+        state.obs_cam, state.obs_lm, state.obs_uv, obs_in, C, L
+    )
+    ba_state = make_ba_state(state.poses, state.X, uv_grid, m_grid,
+                             num_fixed_cameras=0)
+    fixed = jnp.logical_or(~in_win, jnp.arange(C) <= first)
+    ba_state = ba_state.replace(cam_fixed=fixed)
+    out, stats_ba = bundle_adjust(ba_state, K, config.ba)
+
+    lm_obs = jnp.any(m_grid, axis=0)
+    X_new = jnp.where(lm_obs[:, None], out.X, state.X)
+    poses_new = jax.tree.map(
+        lambda a, b: jnp.where(
+            in_win.reshape((C,) + (1,) * (a.ndim - 1)), b, a
+        ),
+        state.poses, out.poses,
+    )
+    return state.replace(poses=poses_new, X=X_new), stats_ba.final_cost
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SfMResult:
+    state: SfMState
+    trajectory: Array            # [C, 3] camera centers (world frame)
+    registered: List[bool]
+    stats: List[StepStats]
+
+
+def camera_centers(poses: Pose, mask: Array) -> Array:
+    """World-frame camera centers −Rᵀt (masked rows zeroed)."""
+    c = -jnp.einsum("cij,ci->cj", jnp.swapaxes(poses.R, -1, -2), poses.t)
+    return jnp.where(mask[:, None], c, 0.0)
+
+
+def run_incremental_sfm(
+    frames,                      # iterable of (kps_xy [N,2], desc [N,D], mask [N])
+    K: CameraIntrinsics,
+    config: SfMConfig = SfMConfig(),
+    seed: int = 0,
+    ba_every: int = 4,
+) -> SfMResult:
+    """Host loop: bootstrap on the first two frames, register the rest,
+    local BA every ``ba_every`` frames (SURVEY.md §3.2 stack)."""
+    frames = list(frames)
+    assert len(frames) >= 2, "need at least two frames"
+    n_feat, d_dim = frames[0][1].shape
+
+    state = init_sfm_state(config, n_feat, d_dim)
+    key = jax.random.PRNGKey(seed)
+    stats_all: List[StepStats] = []
+    registered = [True, True]
+
+    key, k0 = jax.random.split(key)
+    state, st = bootstrap_two_view(
+        state, frames[0][0], frames[0][1], frames[0][2],
+        frames[1][0], frames[1][1], frames[1][2], K, k0, config,
+    )
+    stats_all.append(st)
+
+    for i, (xy, d, m) in enumerate(frames[2:], start=2):
+        key, ki = jax.random.split(key)
+        state, st = register_frame(state, xy, d, m, K, ki, config)
+        stats_all.append(st)
+        registered.append(bool(st.registered))
+        if bool(st.registered) and (i % ba_every == 0):
+            state, _ = local_bundle_adjust(state, K, config,
+                                           window=config.local_ba_window)
+
+    state, _ = local_bundle_adjust(state, K, config,
+                                   window=config.local_ba_window)
+    traj = camera_centers(state.poses, state.cam_mask)
+    return SfMResult(state=state, trajectory=traj, registered=registered,
+                     stats=stats_all)
