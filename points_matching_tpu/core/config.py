@@ -60,6 +60,9 @@ class MatcherConfig:
     threshold: float = 0.5         # absolute distance cut (filter='threshold')
     cross_check: bool = False      # mutual nearest-neighbor consistency
     max_matches: Optional[int] = None  # match-list capacity (None → N_query)
+    backend: str = "auto"          # 'auto' | 'xla' | 'pallas' — 'auto' uses
+                                   # the fused Pallas kernel on TPU for the
+                                   # plain-l2 1-NN/ratio path
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,111 @@
+"""Tracing / profiling / roofline accounting (SURVEY.md §5: the reference's
+only observability is console prints; here: ``jax.profiler`` traces,
+``named_scope`` stage markers, and per-function roofline reports against
+the BASELINE ≥70%-of-roofline target).
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+
+
+# Peak per-chip numbers (dense f32-accumulated MXU matmul path and HBM BW).
+# Sources: public TPU spec sheets; keyed by lowercased device-kind substring.
+_CHIP_PEAKS = {
+    # v5e ("v5 lite"): 197 TFLOP/s bf16 peak, 819 GB/s HBM
+    "v5 lite": dict(flops=197e12, hbm_gbps=819.0),
+    "v5e": dict(flops=197e12, hbm_gbps=819.0),
+    "v4": dict(flops=137.5e12, hbm_gbps=1228.0),
+    "v5p": dict(flops=229e12, hbm_gbps=2765.0),
+    "v6": dict(flops=918e12, hbm_gbps=1640.0),
+    "cpu": dict(flops=1e12, hbm_gbps=100.0),
+}
+
+
+def chip_peaks() -> Dict[str, float]:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in kind:
+            return peaks
+    return _CHIP_PEAKS["cpu"]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def stage(name: str):
+    """Named scope for pipeline stages (shows up in traces)."""
+    return jax.named_scope(name)
+
+
+@dataclasses.dataclass
+class RooflineReport:
+    wall_s: float
+    flops: Optional[float]
+    bytes_accessed: Optional[float]
+    achieved_tflops: Optional[float]
+    peak_tflops: float
+    fraction_of_roofline: Optional[float]
+    bandwidth_gbps: Optional[float]
+    arithmetic_intensity: Optional[float]
+
+    def __str__(self):
+        f = lambda v, fmt: (fmt % v) if v is not None else "n/a"
+        return (
+            f"wall {self.wall_s*1e3:.3f} ms | "
+            f"{f(self.achieved_tflops, '%.2f')} TFLOP/s "
+            f"({f(self.fraction_of_roofline and self.fraction_of_roofline * 100, '%.1f')}% of "
+            f"{self.peak_tflops:.0f} peak) | "
+            f"{f(self.bandwidth_gbps, '%.1f')} GB/s | "
+            f"AI {f(self.arithmetic_intensity, '%.1f')} flop/byte"
+        )
+
+
+def roofline(fn: Callable, *args, iters: int = 20, **kwargs) -> RooflineReport:
+    """Measure a jitted function against the chip roofline.
+
+    Uses XLA's compiled cost analysis for flop/byte counts and wall-clock
+    for the rate.  Verifies the BASELINE '≥70% of roofline' claim per op.
+    """
+    jitted = jax.jit(fn) if not hasattr(fn, "lower") else fn
+    lowered = jitted.lower(*args, **kwargs)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+        bts = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        flops, bts = None, None
+
+    out = jitted(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jitted(*args, **kwargs)
+    jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / iters
+
+    peaks = chip_peaks()
+    achieved = flops / wall / 1e12 if flops else None
+    return RooflineReport(
+        wall_s=wall,
+        flops=flops,
+        bytes_accessed=bts,
+        achieved_tflops=achieved,
+        peak_tflops=peaks["flops"] / 1e12,
+        fraction_of_roofline=(achieved / (peaks["flops"] / 1e12)) if achieved else None,
+        bandwidth_gbps=(bts / wall / 1e9) if bts else None,
+        arithmetic_intensity=(flops / bts) if (flops and bts) else None,
+    )
