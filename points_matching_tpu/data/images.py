@@ -1,61 +1,20 @@
 """Host-side image loading feeding device buffers (implicit component N7:
 ``cv::imread`` replacement; demo call site ``Points Matching/main.cpp:14-15``).
 
-Decode order: the native C++ decoder (BMP/PPM/PGM, built from
-``native/decode.cpp`` — same split as the reference, where decoding lives in
-native OpenCV code) → PIL fallback for JPEG/PNG.  Output is float32
-grayscale in [0, 255] (the value scale the reference's 8-bit pipeline and
-its Hessian threshold assume) as a host numpy array; callers ``device_put``
-it once per frame.
+Decode order: the native C++ layer (``native/pmt_native.cc`` — libjpeg/
+libpng/BMP/PNM with a thread-pool batch path; same native/host split as the
+reference, whose decoding lives in OpenCV's C++ highgui) → PIL fallback when
+the shared library has not been built.  Output is float32 grayscale in
+[0, 255] (the value scale the reference's 8-bit pipeline and its Hessian
+threshold assume); callers ``device_put`` it once per frame.
 """
 from __future__ import annotations
 
-import ctypes
-import os
-from typing import Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_NATIVE = None
-
-
-def _load_native():
-    """Load the C++ decoder shared library if it has been built."""
-    global _NATIVE
-    if _NATIVE is not None:
-        return _NATIVE
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    so = os.path.join(here, "native", "build", "libpmtpu_native.so")
-    if not os.path.exists(so):
-        _NATIVE = False
-        return False
-    lib = ctypes.CDLL(so)
-    lib.pmtpu_decode_image.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.pmtpu_decode_image.restype = ctypes.POINTER(ctypes.c_ubyte)
-    lib.pmtpu_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
-    _NATIVE = lib
-    return lib
-
-
-def _native_decode(path: str) -> Optional[np.ndarray]:
-    lib = _load_native()
-    if not lib:
-        return None
-    w = ctypes.c_int()
-    h = ctypes.c_int()
-    c = ctypes.c_int()
-    buf = lib.pmtpu_decode_image(path.encode(), ctypes.byref(w), ctypes.byref(h), ctypes.byref(c))
-    if not buf:
-        return None
-    n = w.value * h.value * c.value
-    arr = np.ctypeslib.as_array(buf, shape=(n,)).copy()
-    lib.pmtpu_free(buf)
-    return arr.reshape(h.value, w.value, c.value)
+from points_matching_tpu.data import native
 
 
 def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
@@ -68,20 +27,44 @@ def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
     return (0.299 * r + 0.587 * g + 0.114 * b).astype(np.float32)
 
 
+def _pil_decode(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
 def load_image(path: str, grayscale: bool = True) -> np.ndarray:
     """Decode an image file.
 
-    Returns float32 [H, W] (grayscale, values 0-255) or uint8 [H, W, C].
+    Returns float32 [H, W] grayscale (0-255) by default, or uint8 [H, W, 3].
     """
-    arr = _native_decode(path)
-    if arr is None:
-        from PIL import Image
-
-        with Image.open(path) as im:
-            arr = np.asarray(im.convert("RGB"))
     if grayscale:
-        return rgb_to_gray(arr)
-    return arr
+        arr = native.decode_gray(path)
+        if arr is not None:
+            return arr
+        return rgb_to_gray(_pil_decode(path))
+    return _pil_decode(path)
+
+
+def load_batch(
+    paths: Sequence[str], num_threads: int = 0
+) -> np.ndarray:
+    """Decode a uniform-size image sequence → float32 [N, H, W].
+
+    Native path: one C++ thread-pool call filling a single contiguous
+    buffer (the shape ``jax.device_put`` wants).  Fallback: sequential PIL.
+    """
+    if not paths:
+        return np.zeros((0, 0, 0), np.float32)
+    info = native.image_info(paths[0])
+    if info is not None:
+        w, h = info
+        out = native.decode_batch_gray(paths, w, h, num_threads)
+        if out is not None:
+            return out
+    imgs = [load_image(p) for p in paths]
+    return np.stack(imgs)
 
 
 def load_pair(path1: str, path2: str) -> Tuple[np.ndarray, np.ndarray]:
