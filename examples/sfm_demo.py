@@ -18,6 +18,8 @@ def main() -> int:
     p.add_argument("--noise", type=float, default=0.3, help="pixel noise sigma")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--loop-closure", action="store_true",
+                   help="out-and-back trajectory + detect/verify/close loops")
     args = p.parse_args()
 
     import jax
@@ -44,10 +46,17 @@ def main() -> int:
     desc_gt = rng.randn(args.landmarks, 32).astype(np.float32)
     desc_gt /= np.linalg.norm(desc_gt, axis=-1, keepdims=True)
 
+    if args.loop_closure:
+        half = args.frames // 2
+        offs = list(range(half)) + list(range(half - 2, -2, -1))
+        offs = (offs + [0] * args.frames)[: args.frames]
+    else:
+        offs = list(range(args.frames))
+
     frames, gt_centers = [], []
-    for i in range(args.frames):
-        R = np.asarray(so3_exp(jnp.asarray([0.0, 0.015 * i, 0.0])), np.float32)
-        t = np.asarray([-0.25 * i, 0.0, 0.0], np.float32)
+    for i, o in enumerate(offs):
+        R = np.asarray(so3_exp(jnp.asarray([0.0, 0.015 * o, 0.0])), np.float32)
+        t = np.asarray([-0.25 * o, 0.0, 0.0], np.float32)
         gt_centers.append(-(R.T @ t))
         Xc = X @ R.T + t
         uv = Xc[:, :2] / Xc[:, 2:3] * fx + np.asarray([w / 2, h / 2])
@@ -91,6 +100,22 @@ def main() -> int:
     ate = absolute_trajectory_error(jnp.asarray(est), jnp.asarray(np.stack(gt_centers)))
     print(f"ATE rmse: {float(ate.rmse):.4f}  mean: {float(ate.mean):.4f}  "
           f"(scale {float(ate.scale):.3f})")
+
+    if args.loop_closure:
+        from points_matching_tpu.pipelines.loop_closure import close_loops
+        from points_matching_tpu.pipelines.sfm import camera_centers
+
+        corrected, cands = close_loops(
+            res.state.poses, int(res.state.num_cams), frames, K, cfg,
+            seed=args.seed,
+        )
+        n_ver = sum(c.verified for c in cands)
+        print(f"loop candidates: {len(cands)}  verified: {n_ver}")
+        traj2 = np.asarray(camera_centers(corrected, res.state.cam_mask))[: args.frames]
+        ate2 = absolute_trajectory_error(
+            jnp.asarray(traj2), jnp.asarray(np.stack(gt_centers))
+        )
+        print(f"ATE after loop closure: {float(ate2.rmse):.4f}")
     return 0 if n_reg == args.frames else 1
 
 
