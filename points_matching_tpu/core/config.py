@@ -116,6 +116,15 @@ class SfMConfig:
 
     two_view: TwoViewConfig = TwoViewConfig()
     ba: BAConfig = BAConfig()
+    # 2D↔3D matching (frame descriptors vs the landmark bank) must NOT use
+    # the ratio test: duplicate landmarks make best ≈ second-best and the
+    # ratio filter rejects perfectly good correspondences.  Absolute
+    # threshold (unit-norm descriptors → same-point L2 typically < 0.5)
+    # + MUTUAL cross-check: without it every unmapped keypoint still grabs
+    # its nearest landmark and the junk swamps RANSAC PnP.
+    map_matcher: MatcherConfig = MatcherConfig(
+        metric="l2", filter="threshold", threshold=0.5, cross_check=True
+    )
     max_cameras: int = 128
     max_landmarks: int = 8192
     max_observations: int = 32768

@@ -68,6 +68,8 @@ class SfMState:
     prev_kps_xy: Array
     prev_desc: Array
     prev_mask: Array
+    prev_lm: Array          # [N] int32 — landmark slot each previous-frame
+                            # keypoint observes, or -1 (track association)
     num_cams: Array
     num_lms: Array
     num_obs: Array
@@ -88,6 +90,7 @@ def init_sfm_state(config: SfMConfig, num_features: int, desc_dim: int) -> SfMSt
         prev_kps_xy=jnp.zeros((num_features, 2), jnp.float32),
         prev_desc=jnp.zeros((num_features, desc_dim), jnp.float32),
         prev_mask=jnp.zeros((num_features,), bool),
+        prev_lm=jnp.full((num_features,), -1, jnp.int32),
         num_cams=jnp.asarray(0, jnp.int32),
         num_lms=jnp.asarray(0, jnp.int32),
         num_obs=jnp.asarray(0, jnp.int32),
@@ -191,6 +194,13 @@ def bootstrap_two_view(
     )
     cam_mask = state.cam_mask.at[0].set(True).at[1].set(True)
 
+    # track association for frame 2's keypoints: train index → landmark slot
+    n2 = kps2_xy.shape[0]
+    t_idx = jnp.clip(matches.train_idx, 0, n2 - 1)
+    prev_lm = jnp.full((n2,), -1, jnp.int32).at[
+        jnp.where(ok, t_idx, n2)
+    ].set(jnp.where(ok, safe, -1).astype(jnp.int32), mode="drop")
+
     new_state = state.replace(
         poses=poses,
         cam_mask=cam_mask,
@@ -199,6 +209,7 @@ def bootstrap_two_view(
         num_obs=obs[4],
         num_lms=num_lms,
         prev_kps_xy=kps2_xy, prev_desc=desc2, prev_mask=mask2,
+        prev_lm=prev_lm,
         num_cams=jnp.asarray(2, jnp.int32),
     )
     n_new = jnp.sum(good.astype(jnp.int32))
@@ -229,23 +240,44 @@ def register_frame(
     """
     cam_idx = state.num_cams
     k_pnp, k_f = jax.random.split(key)
+    L = state.X.shape[0]
+    n = kps_xy.shape[0]
 
-    # -- 1. match against landmarks ---------------------------------------
+    # -- 1a. TRACKS: 2D↔2D match to the previous frame, then look up which
+    # landmark each previous keypoint observes (prev_lm).  This is the
+    # primary association — frame-to-frame matching is far more precise
+    # than matching into a landmark bank full of near-duplicates.
+    m2d = match_descriptors(
+        Descriptors(data=desc, mask=fmask),
+        Descriptors(data=state.prev_desc, mask=state.prev_mask),
+        config.two_view.matcher,
+    )
+    q2 = jnp.clip(m2d.query_idx, 0, n - 1)
+    p2_ = jnp.clip(m2d.train_idx, 0, n - 1)
+    track_lm = jnp.where(m2d.mask, jnp.take(state.prev_lm, p2_), -1)
+    tracked = track_lm >= 0
+
+    # -- 1b. BANK: descriptor match into the landmark bank (threshold +
+    # cross-check — see SfMConfig.map_matcher) for re-localization and
+    # track re-acquisition.
     m3d = match_descriptors(
         Descriptors(data=desc, mask=fmask),
         Descriptors(data=state.lm_desc, mask=state.lm_mask),
-        config.two_view.matcher,
+        config.map_matcher,
     )
-    L = state.X.shape[0]
-    n = kps_xy.shape[0]
-    lm_idx = jnp.clip(m3d.train_idx, 0, L - 1)
-    X3d = jnp.take(state.X, lm_idx, axis=0)
-    uv = jnp.take(kps_xy, jnp.clip(m3d.query_idx, 0, n - 1), axis=0)
+
+    # -- 2. PnP on the union of track + bank correspondences ---------------
+    corr_q = jnp.concatenate([q2, jnp.clip(m3d.query_idx, 0, n - 1)])
+    corr_l = jnp.concatenate([
+        jnp.clip(track_lm, 0, L - 1), jnp.clip(m3d.train_idx, 0, L - 1)
+    ])
+    corr_m = jnp.concatenate([tracked, m3d.mask])
+    X3d = jnp.take(state.X, corr_l, axis=0)
+    uv = jnp.take(kps_xy, corr_q, axis=0)
     uvn = K.normalize_points(uv)
 
-    # -- 2. PnP ------------------------------------------------------------
     pnp = ransac_pnp(
-        k_pnp, X3d, uvn, m3d.mask,
+        k_pnp, X3d, uvn, corr_m,
         num_hypotheses=config.two_view.ransac.num_hypotheses,
         inlier_threshold=config.two_view.ransac.inlier_threshold
         / jnp.maximum(K.fx, 1.0),
@@ -253,44 +285,48 @@ def register_frame(
     registered = pnp.num_inliers >= config.pnp_min_inliers
 
     # -- 3. observations + descriptor refresh ------------------------------
+    # Deduplicate (the same query may appear via track AND bank): keep the
+    # first inlier occurrence per landmark slot.
     O_cap = state.obs_cam.shape[0]
-    good_obs = jnp.logical_and(jnp.logical_and(pnp.inlier_mask, m3d.mask),
-                               registered)
+    inl = jnp.logical_and(pnp.inlier_mask, corr_m)
+    n_corr = corr_q.shape[0]
+    first_of_lm = jnp.full((L + 1,), n_corr, jnp.int32).at[
+        jnp.where(inl, corr_l, L)
+    ].min(jnp.arange(n_corr, dtype=jnp.int32), mode="drop")
+    is_first = first_of_lm[corr_l] == jnp.arange(n_corr)
+    good_obs = jnp.logical_and(jnp.logical_and(inl, is_first), registered)
+
     sp = _append_positions(O_cap, state.num_obs, good_obs)
     obs_cam = state.obs_cam.at[sp].set(cam_idx, mode="drop")
-    obs_lm = state.obs_lm.at[sp].set(lm_idx, mode="drop")
+    obs_lm = state.obs_lm.at[sp].set(corr_l, mode="drop")
     obs_uv = state.obs_uv.at[sp].set(uv, mode="drop")
     obs_mask = state.obs_mask.at[sp].set(True, mode="drop")
     num_obs = jnp.minimum(
         state.num_obs + jnp.sum(good_obs.astype(jnp.int32)), O_cap
     ).astype(jnp.int32)
 
-    d_seen = jnp.take(desc, jnp.clip(m3d.query_idx, 0, n - 1), axis=0)
-    upd = jnp.logical_and(good_obs, registered)
-    lm_desc = state.lm_desc.at[jnp.where(upd, lm_idx, L)].set(
+    d_seen = jnp.take(desc, corr_q, axis=0)
+    upd = good_obs
+    lm_desc = state.lm_desc.at[jnp.where(upd, corr_l, L)].set(
         jnp.where(upd[:, None], d_seen, 0.0), mode="drop"
     )
 
-    # -- 4. new landmarks from prev-frame triangulation ---------------------
-    m2d = match_descriptors(
-        Descriptors(data=desc, mask=fmask),
-        Descriptors(data=state.prev_desc, mask=state.prev_mask),
-        config.two_view.matcher,
-    )
-    # frame keypoints already matched to a landmark are not new
-    matched_to_map = jnp.zeros((n,), bool).at[
-        jnp.where(good_obs, jnp.clip(m3d.query_idx, 0, n - 1), n)
-    ].set(True, mode="drop")
+    # -- 4. new landmarks: frame↔prev matches whose prev keypoint has no
+    # landmark AND whose query landed no map observation this frame --------
+    has_obs_q = jnp.zeros((n + 1,), bool).at[
+        jnp.where(good_obs, corr_q, n)
+    ].set(True, mode="drop")[:n]
     cand = jnp.logical_and(
-        m2d.mask, ~jnp.take(matched_to_map, jnp.clip(m2d.query_idx, 0, n - 1))
+        jnp.logical_and(m2d.mask, ~tracked),
+        ~jnp.take(has_obs_q, q2),
     )
 
     prev_cam = cam_idx - 1
     prev_pose = jax.tree.map(lambda a: a[jnp.maximum(prev_cam, 0)], state.poses)
     P1 = prev_pose.matrix34()
     P2 = pnp.pose.matrix34()
-    uv_c = jnp.take(kps_xy, jnp.clip(m2d.query_idx, 0, n - 1), axis=0)
-    uv_p = jnp.take(state.prev_kps_xy, jnp.clip(m2d.train_idx, 0, n - 1), axis=0)
+    uv_c = jnp.take(kps_xy, q2, axis=0)
+    uv_p = jnp.take(state.prev_kps_xy, p2_, axis=0)
     Xn, cheir = triangulate_dlt(P1, P2, K.normalize_points(uv_p),
                                 K.normalize_points(uv_c))
     zc = pnp.pose.transform(Xn)[..., 2]
@@ -300,7 +336,7 @@ def register_frame(
 
     lsp = _append_positions(L, state.num_lms, new_ok)  # rejects → L (dropped)
     lok = lsp < L
-    d_new = jnp.take(desc, jnp.clip(m2d.query_idx, 0, n - 1), axis=0)
+    d_new = jnp.take(desc, q2, axis=0)
     X_new = state.X.at[lsp].set(Xn, mode="drop")
     lm_mask_new = state.lm_mask.at[lsp].set(True, mode="drop")
     lm_desc = lm_desc.at[lsp].set(d_new, mode="drop")
@@ -332,6 +368,16 @@ def register_frame(
     cam_mask = state.cam_mask.at[cam_idx].set(registered)
     num_cams = jnp.where(registered, cam_idx + 1, state.num_cams).astype(jnp.int32)
 
+    # track associations for the CURRENT frame's keypoints: map-observation
+    # queries keep their landmark, new-landmark queries get their new slot
+    prev_lm_new = jnp.full((n,), -1, jnp.int32)
+    prev_lm_new = prev_lm_new.at[jnp.where(good_obs, corr_q, n)].set(
+        corr_l.astype(jnp.int32), mode="drop"
+    )
+    prev_lm_new = prev_lm_new.at[jnp.where(lok, q2, n)].set(
+        lsp.astype(jnp.int32), mode="drop"
+    )
+
     new_state = state.replace(
         poses=poses, cam_mask=cam_mask,
         X=X_new, lm_mask=lm_mask_new, lm_desc=lm_desc,
@@ -340,6 +386,7 @@ def register_frame(
         prev_kps_xy=jnp.where(registered, kps_xy, state.prev_kps_xy),
         prev_desc=jnp.where(registered, desc, state.prev_desc),
         prev_mask=jnp.where(registered, fmask, state.prev_mask),
+        prev_lm=jnp.where(registered, prev_lm_new, state.prev_lm),
     )
     stats = StepStats(
         registered=registered,
@@ -368,16 +415,21 @@ def local_bundle_adjust(
     in_win = jnp.logical_and(
         jnp.arange(C) >= first, jnp.arange(C) < state.num_cams
     )
-    obs_in = jnp.logical_and(
-        state.obs_mask, jnp.take(in_win, jnp.clip(state.obs_cam, 0, C - 1))
-    )
-
+    # ALL observations constrain the system (the [C, L] grid is dense
+    # regardless, so this costs nothing): out-of-window cameras are
+    # gauge-fixed but their measurements anchor shared landmarks.
+    # Restricting to in-window observations leaves the monocular scale
+    # gauge free and every BA quietly shrinks the map (observed: camera
+    # centers collapsing toward the origin over a 12-frame run).
     uv_grid, m_grid = grid_from_obs(
-        state.obs_cam, state.obs_lm, state.obs_uv, obs_in, C, L
+        state.obs_cam, state.obs_lm, state.obs_uv, state.obs_mask, C, L
     )
     ba_state = make_ba_state(state.poses, state.X, uv_grid, m_grid,
                              num_fixed_cameras=0)
+    # fix everything outside the window, the window's first camera, and
+    # always cameras 0-1 (two fixed cameras pin the 7th, scale, gauge DOF)
     fixed = jnp.logical_or(~in_win, jnp.arange(C) <= first)
+    fixed = jnp.logical_or(fixed, jnp.arange(C) <= 1)
     ba_state = ba_state.replace(cam_fixed=fixed)
     out, stats_ba = bundle_adjust(ba_state, K, config.ba)
 
