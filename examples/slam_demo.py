@@ -26,6 +26,11 @@ def main() -> int:
     p.add_argument("--checkpoint-dir", default=None,
                    help="save the final map state here (Orbax)")
     p.add_argument("--ba-every", type=int, default=4)
+    p.add_argument("--distributed", action="store_true",
+                   help="submap-parallel SLAM over all local devices "
+                        "(segment axis sharded on the mesh's data axis)")
+    p.add_argument("--segment-len", type=int, default=16)
+    p.add_argument("--overlap", type=int, default=4)
     args = p.parse_args()
 
     import jax
@@ -89,6 +94,9 @@ def main() -> int:
     dt = time.time() - t0
     log.info("features: %.2fs (%.1f frames/s incl. compile)", dt, len(seq) / dt)
 
+    if args.distributed:
+        return _run_distributed(args, frames, seq, cfg, log)
+
     t0 = time.time()
     res = run_incremental_sfm(frames, seq.K, cfg, ba_every=args.ba_every)
     dt = time.time() - t0
@@ -134,6 +142,73 @@ def main() -> int:
         log.info("checkpointed map state to %s", args.checkpoint_dir)
 
     return 0 if n_reg == len(seq) else 1
+
+
+def _run_distributed(args, frames, seq, cfg, log):
+    """Submap-parallel path: segments sharded over the data axis of a mesh
+    spanning all local devices, Sim(3) merge, landmark-sharded global BA."""
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from points_matching_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+    from points_matching_tpu.pipelines.distributed_slam import (
+        run_distributed_slam, segment_frames,
+    )
+    from points_matching_tpu.utils.evaluation import absolute_trajectory_error
+
+    kps = jnp.stack([f[0] for f in frames])
+    dsc = jnp.stack([f[1] for f in frames])
+    msk = jnp.stack([f[2] for f in frames])
+
+    n_dev = len(jax.devices())
+    stride = args.segment_len - args.overlap
+    n_seg = (len(frames) - args.overlap) // stride
+    # data axis must divide the segment count; give leftover devices to model
+    n_data = 1
+    for d in range(min(n_dev, n_seg), 0, -1):
+        if n_seg % d == 0 and n_dev % d == 0:
+            n_data = d
+            break
+    mesh = make_mesh((n_data, n_dev // n_data), (DATA_AXIS, MODEL_AXIS))
+    log.info("mesh: %s over %d devices, %d segments (len %d, overlap %d)",
+             dict(mesh.shape), n_dev, n_seg, args.segment_len, args.overlap)
+
+    cfg = dataclasses.replace(
+        cfg, max_cameras=args.segment_len,
+        local_ba_window=min(cfg.local_ba_window, args.segment_len),
+        max_landmarks=-(-8 * args.features // mesh.shape[MODEL_AXIS])
+        * mesh.shape[MODEL_AXIS],
+        max_observations=32 * args.features,
+    )
+
+    t0 = time.time()
+    res = run_distributed_slam(
+        kps, dsc, msk, seq.K, config=cfg, mesh=mesh,
+        segment_len=args.segment_len, overlap=args.overlap,
+    )
+    dt = time.time() - t0
+    n_frames = len(res.cam_valid)
+    log.info("distributed SLAM: %d frames in %.2fs (%.2f frames/s incl. "
+             "compile), %d/%d frames valid",
+             n_frames, dt, n_frames / dt, int(res.cam_valid.sum()), n_frames)
+    if res.ba_stats is not None:
+        log.info("global BA cost: %.1f -> %.1f",
+                 float(res.ba_stats.initial_cost), float(res.ba_stats.final_cost))
+
+    gt = seq.gt_positions[:n_frames]
+    gt_ok = np.isfinite(gt).all(axis=-1) & res.cam_valid
+    if gt_ok.sum() >= 3:
+        ate = absolute_trajectory_error(
+            jnp.asarray(res.trajectory), jnp.asarray(np.nan_to_num(gt)),
+            mask=jnp.asarray(gt_ok),
+        )
+        log.info("ATE rmse: %.4f m  mean: %.4f m (Sim3-aligned, %d poses)",
+                 float(ate.rmse), float(ate.mean), int(gt_ok.sum()))
+    return 0 if res.cam_valid.all() else 1
 
 
 if __name__ == "__main__":

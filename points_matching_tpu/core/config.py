@@ -115,7 +115,11 @@ class SfMConfig:
     """Incremental SfM / SLAM configuration (BASELINE configs 3, 4)."""
 
     two_view: TwoViewConfig = TwoViewConfig()
-    ba: BAConfig = BAConfig()
+    # Huber by default: SLAM observation lists always carry mis-associations
+    # (duplicate landmarks, bad tracks) and one unbounded L2 residual can
+    # steer every BA step; plain-L2 BAConfig stays available for the
+    # synthetic/parity tests that expect exact Gauss-Newton behavior.
+    ba: BAConfig = BAConfig(huber_delta=3.0)
     # 2D↔3D matching (frame descriptors vs the landmark bank) must NOT use
     # the ratio test: duplicate landmarks make best ≈ second-best and the
     # ratio filter rejects perfectly good correspondences.  Absolute
@@ -125,6 +129,13 @@ class SfMConfig:
     map_matcher: MatcherConfig = MatcherConfig(
         metric="l2", filter="threshold", threshold=0.5, cross_check=True
     )
+    # independent bootstrap RANSAC tries, selected by cheirality-consistent
+    # landmark count (see pipelines/sfm.py bootstrap_two_view)
+    bootstrap_candidates: int = 4
+    # PnP RANSAC hypotheses for registration — deliberately larger than the
+    # two-view F count: 6-point DLT samples need many more draws to survive
+    # low inlier fractions, and batched hypotheses are near-free on the MXU
+    pnp_hypotheses: int = 1024
     max_cameras: int = 128
     max_landmarks: int = 8192
     max_observations: int = 32768

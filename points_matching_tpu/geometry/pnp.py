@@ -119,6 +119,7 @@ def ransac_pnp(
     sample_size: int = 6,
     inlier_threshold: float = 0.01,
     refine_iterations: int = 5,
+    sample_logits: Array | None = None,
 ) -> PnPResult:
     """Batched-hypothesis RANSAC PnP with GN refinement on the consensus.
 
@@ -127,12 +128,20 @@ def ransac_pnp(
       mask:    [N] valid correspondences.
       inlier_threshold: reprojection error in *normalized* units
                         (pixels / focal length).
+      sample_logits: [N] optional log-weights biasing minimal-set sampling
+        toward trusted correspondences (Gumbel trick: +log w per row).  With
+        a 6-point DLT sample, inlier fractions below ~50% starve uniform
+        RANSAC — (0.45)⁶ ≈ 0.8% clean samples — so callers that KNOW some
+        rows are higher-precision (e.g. tracked vs bank-matched in SfM
+        registration) should say so here.  Scoring still uses all rows.
     """
     mask = mask.astype(bool)
     n = X.shape[0]
 
     g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
     scores = g + jnp.where(mask, 0.0, -1e30)[None, :]
+    if sample_logits is not None:
+        scores = scores + sample_logits[None, :]
     _, idx = jax.lax.top_k(scores, sample_size)
     sX = jnp.take(X, idx, axis=0)          # [H, S, 3]
     suv = jnp.take(uv_norm, idx, axis=0)   # [H, S, 2]
@@ -154,10 +163,15 @@ def ransac_pnp(
     pose = jax.tree.map(lambda a: a[best], poses)
     best_inl = inl[best]
 
+    # two refine→re-gate rounds (LO-RANSAC style): the first consensus from
+    # a minimal sample is noisy; re-collecting inliers after refinement and
+    # refining again materially grows the final consensus.
     w = best_inl.astype(X.dtype)
     pose = pnp_refine(pose, X, uv_norm, w, iterations=refine_iterations)
-    errs_f = reproj_err(pose)
-    final_inl = jnp.logical_and(errs_f < inlier_threshold, mask)
+    inl1 = jnp.logical_and(reproj_err(pose) < inlier_threshold, mask)
+    pose = pnp_refine(pose, X, uv_norm, inl1.astype(X.dtype),
+                      iterations=refine_iterations)
+    final_inl = jnp.logical_and(reproj_err(pose) < inlier_threshold, mask)
     return PnPResult(
         pose=pose,
         inlier_mask=final_inl,

@@ -147,18 +147,30 @@ def bootstrap_two_view(
     n1 = kps1_xy.shape[0]
     p1 = jnp.take(kps1_xy, jnp.clip(matches.query_idx, 0, n1 - 1), axis=0)
     p2 = jnp.take(kps2_xy, jnp.clip(matches.train_idx, 0, n1 - 1), axis=0)
-
-    est = ransac_fundamental(key, p1, p2, matches.mask, tv.ransac)
-    E = essential_from_fundamental(est.F, K.matrix(), K.matrix())
     p1n = K.normalize_points(p1)
     p2n = K.normalize_points(p2)
-    w = jnp.logical_and(matches.mask, est.inlier_mask)
-    pose2, X_cam1, cheir = recover_pose(E, p1n, p2n, w)
-    good = jnp.logical_and(w, cheir)
 
-    # depth sanity: drop points behind/too far (dimensionless scale: |t|=1)
-    z = X_cam1[..., 2]
-    good = jnp.logical_and(good, jnp.logical_and(z > 0.05, z < 100.0))
+    # Multiple independent RANSAC candidates, selected by CHEIRALITY-
+    # consistent landmark count, not epipolar inlier count: a low-parallax
+    # pair can yield an F with many epipolar inliers whose recovered pose
+    # still puts a large fraction of points behind a camera — one such
+    # bootstrap poisons the whole map (every later PnP fails).  All
+    # candidates solve/score batched under vmap; no sequential retries.
+    def candidate(k):
+        est = ransac_fundamental(k, p1, p2, matches.mask, tv.ransac)
+        E = essential_from_fundamental(est.F, K.matrix(), K.matrix())
+        w = jnp.logical_and(matches.mask, est.inlier_mask)
+        pose2, X_cam1, cheir = recover_pose(E, p1n, p2n, w)
+        good = jnp.logical_and(w, cheir)
+        z = X_cam1[..., 2]
+        # depth sanity: drop points behind/too far (dimensionless |t|=1)
+        good = jnp.logical_and(good, jnp.logical_and(z > 0.05, z < 100.0))
+        return est, pose2, X_cam1, good
+
+    keys = jax.random.split(key, config.bootstrap_candidates)
+    cands = jax.vmap(candidate)(keys)
+    b = jnp.argmax(jnp.sum(cands[3].astype(jnp.int32), axis=-1))
+    est, pose2, X_cam1, good = jax.tree.map(lambda a: a[b], cands)
 
     # landmarks (world frame = cam-1 frame)
     d_new = jnp.take(desc1, jnp.clip(matches.query_idx, 0, n1 - 1), axis=0)
@@ -276,11 +288,20 @@ def register_frame(
     uv = jnp.take(kps_xy, corr_q, axis=0)
     uvn = K.normalize_points(uv)
 
+    # Bias minimal-set sampling toward track rows: bank matches hit
+    # near-duplicate landmarks whose fresh (2-observation) positions are
+    # noisy, so the union's inlier fraction can fall below what a uniform
+    # 6-point sampler survives.  Tracked rows are frame-to-frame precise.
+    logits = jnp.concatenate([
+        jnp.full((q2.shape[0],), 2.0, jnp.float32),
+        jnp.zeros((m3d.query_idx.shape[0],), jnp.float32),
+    ])
     pnp = ransac_pnp(
         k_pnp, X3d, uvn, corr_m,
-        num_hypotheses=config.two_view.ransac.num_hypotheses,
+        num_hypotheses=config.pnp_hypotheses,
         inlier_threshold=config.two_view.ransac.inlier_threshold
         / jnp.maximum(K.fx, 1.0),
+        sample_logits=logits,
     )
     registered = pnp.num_inliers >= config.pnp_min_inliers
 
