@@ -90,22 +90,25 @@ def knn_match(
 
 
 def _use_pallas_path(d1: Descriptors, d2: Descriptors, config: MatcherConfig) -> bool:
-    """Route the plain-L2 path to the fused Pallas distance+top-2 kernel.
+    """Route the L2/Hamming path to the fused Pallas distance+top-2 kernels.
 
-    'auto' enables it on TPU backends only (the kernel compiles via Mosaic);
+    'auto' enables it on TPU backends only (the kernels compile via Mosaic);
     CPU tests exercise it explicitly through interpret mode.
     """
-    if config.metric != "l2" or d1.data.ndim != 2:
+    if config.metric not in ("l2", "hamming") or d1.data.ndim != 2:
         return False
     if config.backend == "pallas":
         return True
     if config.backend != "auto":
         return False
     # Measured crossover on v5e: one fused XLA GEMM wins for small per-pair
-    # problems (vmapped 512×512: 310k vs 234k pairs/s); the Pallas kernel
+    # L2 problems (vmapped 512×512: 310k vs 234k pairs/s); the Pallas kernel
     # wins once the [N1, N2] matrix is big enough that its HBM round-trip
-    # dominates (4096×4096: 1.67× faster). Gate 'auto' at ~4M cells.
-    if d1.capacity * d2.capacity < 2048 * 2048:
+    # dominates (4096×4096: 1.67× faster). Gate L2 'auto' at ~4M cells.
+    # Hamming's XLA form materializes the [N1, N2, W] XOR tensor (8× the
+    # bytes), so its fused kernel pays off much earlier.
+    min_cells = 1024 * 1024 if config.metric == "hamming" else 2048 * 2048
+    if d1.capacity * d2.capacity < min_cells:
         return False
     try:
         platform = jax.devices()[0].platform
@@ -128,10 +131,15 @@ def match_descriptors(
     """
     k = 2 if (config.filter == "ratio") else 1
     if _use_pallas_path(d1, d2, config):
-        from points_matching_tpu.ops.pallas.matching_kernel import fused_l2_top2
+        if config.metric == "hamming":
+            from points_matching_tpu.ops.pallas.hamming import fused_hamming_top2
 
-        dist, idx = fused_l2_top2(d1.data, d2.data, d2.mask)
-        # query-side masking (the kernel only masks train rows)
+            dist, idx = fused_hamming_top2(d1.data, d2.data, d2.mask)
+        else:
+            from points_matching_tpu.ops.pallas.matching_kernel import fused_l2_top2
+
+            dist, idx = fused_l2_top2(d1.data, d2.data, d2.mask)
+        # query-side masking (the kernels only mask train rows)
         dist = jnp.where(d1.mask[..., None], dist, _BIG)
     else:
         dist, idx = knn_match(d1, d2, k=k, metric=config.metric)
