@@ -75,6 +75,8 @@ class RansacConfig:
     inlier_threshold: float = 1.5  # Sampson distance threshold (pixels)
     refit: bool = True             # least-squares refit on consensus set
     refit_iterations: int = 2      # refit/re-gate rounds after best model
+    backend: str = "auto"          # 'auto' | 'xla' | 'pallas' — 'auto' uses
+                                   # the fused Sampson-scoring kernel on TPU
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,6 +25,23 @@ from points_matching_tpu.geometry.fundamental import (
 )
 
 
+def _use_pallas_scoring(config: RansacConfig) -> bool:
+    """Route hypothesis scoring to the fused Pallas Sampson kernel.
+
+    'auto' enables it on TPU backends; the kernel vmaps cleanly (Pallas adds
+    a leading grid dimension), so the gate also holds inside per-pair vmaps.
+    """
+    if config.backend == "pallas":
+        return True
+    if config.backend != "auto":
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return platform in ("tpu", "axon")
+
+
 def _sample_minimal_sets(
     key: Array, mask: Array, num_hypotheses: int, sample_size: int
 ) -> Array:
@@ -65,14 +82,31 @@ def ransac_fundamental(
     # Solve all hypotheses at once (batched normalized 8-point).
     F_h = eight_point(sp1, sp2)  # [H, 3, 3]
 
-    # Score all hypotheses against all correspondences: [H, N].
-    d = sampson_distance(F_h, p1[None], p2[None])
-    inliers_h = jnp.logical_and(d < config.inlier_threshold**2, mask[None])
-    counts = jnp.sum(inliers_h.astype(jnp.int32), axis=-1)
+    # Score all hypotheses against all correspondences.
+    if _use_pallas_scoring(config):
+        # Fused Pallas path: only the [H] counts leave the chip; the best
+        # hypothesis's [N] inlier mask is recomputed from its F alone.
+        from points_matching_tpu.ops.pallas.ransac_kernel import (
+            ransac_score_hypotheses,
+        )
 
-    best = jnp.argmax(counts)
-    best_inliers = inliers_h[best]
-    F = F_h[best]
+        counts = ransac_score_hypotheses(
+            F_h, p1, p2, mask, config.inlier_threshold
+        )
+        best = jnp.argmax(counts)
+        F = F_h[best]
+        d_best = sampson_distance(F, p1, p2)
+        best_inliers = jnp.logical_and(
+            d_best < config.inlier_threshold**2, mask
+        )
+    else:
+        # XLA reference path: materialize the [H, N] Sampson matrix.
+        d = sampson_distance(F_h, p1[None], p2[None])
+        inliers_h = jnp.logical_and(d < config.inlier_threshold**2, mask[None])
+        counts = jnp.sum(inliers_h.astype(jnp.int32), axis=-1)
+        best = jnp.argmax(counts)
+        best_inliers = inliers_h[best]
+        F = F_h[best]
 
     if config.refit:
         def refit_once(carry, _):

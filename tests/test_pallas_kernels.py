@@ -133,6 +133,97 @@ def test_match_descriptors_pallas_hamming_backend_agrees():
                                np.asarray(out.distance)[m], atol=1e-5)
 
 
+@pytest.mark.parametrize("h,n", [(512, 512), (100, 300)])
+def test_ransac_score_hypotheses_matches_reference(h, n):
+    from points_matching_tpu.geometry.fundamental import sampson_distance
+    from points_matching_tpu.ops.pallas.ransac_kernel import (
+        ransac_score_hypotheses,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    F_h = jax.random.normal(ks[0], (h, 3, 3))
+    p1 = jax.random.uniform(ks[1], (n, 2), minval=0, maxval=640)
+    p2 = p1 + 2.0 * jax.random.normal(ks[2], (n, 2))
+    mask = jnp.arange(n) < n - 7
+    thr = 1.5
+
+    ref = jnp.sum(
+        jnp.logical_and(
+            sampson_distance(F_h, p1[None], p2[None]) < thr**2, mask[None]
+        ).astype(jnp.int32),
+        axis=-1,
+    )
+    out = ransac_score_hypotheses(F_h, p1, p2, mask, thr, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_ransac_score_hypotheses_vmap():
+    from points_matching_tpu.geometry.fundamental import sampson_distance
+    from points_matching_tpu.ops.pallas.ransac_kernel import (
+        ransac_score_hypotheses,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    B, H, N = 3, 64, 128
+    F_b = jax.random.normal(ks[0], (B, H, 3, 3))
+    p1 = jax.random.uniform(ks[1], (B, N, 2), minval=0, maxval=640)
+    p2 = p1 + 2.0 * jax.random.normal(ks[2], (B, N, 2))
+    mask = jnp.ones((B, N), bool)
+    thr = 1.5
+
+    out = jax.vmap(
+        lambda f, a, b, m: ransac_score_hypotheses(f, a, b, m, thr,
+                                                   interpret=True)
+    )(F_b, p1, p2, mask)
+    ref = jax.vmap(
+        lambda f, a, b, m: jnp.sum(
+            jnp.logical_and(
+                sampson_distance(f, a[None], b[None]) < thr**2, m[None]
+            ).astype(jnp.int32),
+            axis=-1,
+        )
+    )(F_b, p1, p2, mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_ransac_fundamental_pallas_backend_agrees():
+    """End-to-end RANSAC through the fused scoring kernel must pick an
+    equivalent model (same inlier set) as the XLA scoring path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from points_matching_tpu.core.config import RansacConfig
+    from points_matching_tpu.geometry.ransac import ransac_fundamental
+
+    # synthetic two-view scene with a known F and 30% outliers
+    rng = np.random.RandomState(0)
+    N = 256
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    X = np.concatenate(
+        [rng.uniform(-2, 2, (N, 2)), rng.uniform(4, 8, (N, 1))], axis=1
+    ).astype(np.float32)
+    p1 = (X / X[:, 2:3]) @ K.T
+    X2 = X + np.array([0.3, 0.05, 0.0], np.float32)
+    p2 = (X2 / X2[:, 2:3]) @ K.T
+    p1, p2 = p1[:, :2], p2[:, :2]
+    p2[: N // 3] = rng.uniform(0, 640, (N // 3, 2))  # outliers
+
+    key = jax.random.PRNGKey(0)
+    mask = jnp.ones((N,), bool)
+    ref = ransac_fundamental(
+        key, jnp.asarray(p1), jnp.asarray(p2), mask,
+        RansacConfig(num_hypotheses=128, backend="xla"),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = ransac_fundamental(
+            key, jnp.asarray(p1), jnp.asarray(p2), mask,
+            RansacConfig(num_hypotheses=128, backend="pallas"),
+        )
+    # same PRNG → same hypotheses → same counts → same model
+    np.testing.assert_array_equal(np.asarray(ref.inlier_mask),
+                                  np.asarray(out.inlier_mask))
+    assert int(out.num_inliers) >= int(0.6 * N)  # found the true consensus
+
+
 def test_fused_l2_top2_all_train_masked_out_but_some():
     q = jax.random.normal(jax.random.PRNGKey(1), (32, 64))
     t = jax.random.normal(jax.random.PRNGKey(2), (128, 64))
