@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness (SURVEY.md §3.2 ``benchmark()``; BASELINE
+north-star: ≥80% frames/s scaling efficiency at 4 hosts).
+
+Strong-scales the two collective-bound pipelines over 1..N devices:
+
+  * **all-pairs matching** (BASELINE config 1) — images sharded on the
+    ``data`` axis, ring exchange (`parallel/all_pairs.py`) over the ICI
+    links on real hardware;
+  * **distributed bundle adjustment** — landmarks sharded on the ``model``
+    axis, Schur reduction via compiler-placed psum
+    (`parallel/sharded_ba.py`).
+
+Prints one JSON line per (workload, n_devices) with throughput and
+efficiency vs the 1-device run: ``eff(n) = t(1) / (n · t(n))``.
+
+Run on a real TPU slice for meaningful numbers.  On a faked CPU mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=8``) the devices
+share the host's cores, so wall-clock "efficiency" is bounded by
+physical core count — that mode validates that the sharded paths run and
+bounds their communication overhead, not hardware scaling.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", default=None,
+                   help="comma list of mesh sizes (default: 1,2,4,.. up to available)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--fake-devices", type=int, default=0,
+                   help="force a faked N-device CPU mesh (sets XLA_FLAGS; CI mode)")
+    p.add_argument("--images", type=int, default=16)
+    p.add_argument("--keypoints", type=int, default=128)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--cameras", type=int, default=8)
+    p.add_argument("--landmarks", type=int, default=2048)
+    p.add_argument("--ba-iterations", type=int, default=5)
+    p.add_argument("--iters", type=int, default=5, help="timed repetitions")
+    return p.parse_args()
+
+
+def time_fn(fn, iters):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_all_pairs(n_dev, args):
+    import jax
+    import jax.numpy as jnp
+
+    from points_matching_tpu.parallel.all_pairs import all_pairs_scores
+    from points_matching_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    N, K, D = args.images, args.keypoints, args.dim
+    key = jax.random.PRNGKey(0)
+    desc = jax.random.normal(key, (N, K, D), jnp.float32)
+    desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    mask = jnp.ones((N, K), bool)
+
+    mesh = (
+        make_mesh((n_dev,), (DATA_AXIS,), devices=jax.devices()[:n_dev])
+        if n_dev > 1
+        else None
+    )
+    fn = jax.jit(lambda d, m: all_pairs_scores(d, m, mesh=mesh))
+    dt = time_fn(lambda: fn(desc, mask), args.iters)
+    return dt, N * N / dt  # ordered image pairs per second
+
+
+def bench_distributed_ba(n_dev, args):
+    import jax
+
+    from points_matching_tpu.ba.lm import make_ba_state
+    from points_matching_tpu.core.config import BAConfig
+    from points_matching_tpu.core.types import CameraIntrinsics
+    from points_matching_tpu.data.synthetic import make_ba_problem
+    from points_matching_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+    from points_matching_tpu.parallel.sharded_ba import distributed_bundle_adjust
+
+    prob = make_ba_problem(
+        jax.random.PRNGKey(1),
+        num_cameras=args.cameras,
+        num_landmarks=args.landmarks,
+    )
+    K = CameraIntrinsics.from_matrix(prob["K"])
+    state = make_ba_state(prob["poses"], prob["X"], prob["uv"], prob["mask"])
+    cfg = BAConfig(max_iterations=args.ba_iterations, rtol=0.0)
+
+    mesh = make_mesh((n_dev,), (MODEL_AXIS,), devices=jax.devices()[:n_dev])
+    fn = jax.jit(
+        lambda s: distributed_bundle_adjust(s, K, mesh, cfg)[1].final_cost
+    )
+    dt = time_fn(lambda: fn(state), args.iters)
+    return dt, args.ba_iterations / dt  # BA LM iterations per second
+
+
+def main():
+    args = parse_args()
+    if args.fake_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.fake_devices}"
+            ).strip()
+        args.platform = "cpu"
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    avail = len(jax.devices())
+    if args.devices:
+        sizes = [int(s) for s in args.devices.split(",")]
+    else:
+        sizes, n = [], 1
+        while n <= avail:
+            sizes.append(n)
+            n *= 2
+    platform = jax.devices()[0].platform
+
+    for name, bench in [("all_pairs_matching", bench_all_pairs),
+                        ("distributed_ba", bench_distributed_ba)]:
+        base = None
+        for n_dev in sizes:
+            if n_dev > avail:
+                continue
+            dt, thr = bench(n_dev, args)
+            if n_dev == 1 or base is None:
+                base = dt
+            eff = base / (n_dev * dt)
+            print(json.dumps({
+                "metric": f"{name}_scaling",
+                "n_devices": n_dev,
+                "platform": platform,
+                "value": round(thr, 2),
+                "unit": "pairs/s" if name == "all_pairs_matching" else "ba_iters/s",
+                "step_ms": round(dt * 1e3, 2),
+                "efficiency_vs_1dev": round(eff, 3),
+            }))
+
+
+if __name__ == "__main__":
+    main()
