@@ -60,7 +60,11 @@ def _make_workload(batch, seed=0):
     return d1, d2, p1, p2
 
 
-def bench_tpu(iters=100):
+def bench_tpu(iters=30, inner=10):
+    """Sustained device throughput: ``inner`` steps are scanned on-device
+    inside one jit (a 64-pair step is ~20 µs of compute — per-call Python
+    dispatch is ~10× that, so an un-scanned loop measures the host, not the
+    chip; production feeds batches back-to-back exactly like the scan)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,37 +77,42 @@ def bench_tpu(iters=100):
     mcfg = MatcherConfig(metric="l2", filter="ratio", ratio=RATIO)
     rcfg = RansacConfig(num_hypotheses=HYP)
 
-    @jax.jit
-    def step(d1, d2, p1, p2, keys):
-        def per_pair(a, b, pa, pb, k):
-            m = jnp.ones((NKP,), bool)
-            matches = match_descriptors(
-                Descriptors(data=a, mask=m), Descriptors(data=b, mask=m), mcfg
-            )
-            q1 = jnp.take(pa, jnp.clip(matches.query_idx, 0, NKP - 1), axis=0)
-            q2 = jnp.take(pb, jnp.clip(matches.train_idx, 0, NKP - 1), axis=0)
-            est = ransac_fundamental(k, q1, q2, matches.mask, rcfg)
-            return est.num_inliers, est.F
+    def per_pair(a, b, pa, pb, k):
+        m = jnp.ones((NKP,), bool)
+        matches = match_descriptors(
+            Descriptors(data=a, mask=m), Descriptors(data=b, mask=m), mcfg
+        )
+        q1 = jnp.take(pa, jnp.clip(matches.query_idx, 0, NKP - 1), axis=0)
+        q2 = jnp.take(pb, jnp.clip(matches.train_idx, 0, NKP - 1), axis=0)
+        est = ransac_fundamental(k, q1, q2, matches.mask, rcfg)
+        return est.num_inliers
 
-        return jax.vmap(per_pair)(d1, d2, p1, p2, keys)
+    @jax.jit
+    def run(d1, d2, p1, p2, keys):  # keys: [inner, BATCH, 2]
+        def body(carry, ks):
+            ni = jax.vmap(per_pair)(d1, d2, p1, p2, ks)
+            return carry, ni
+
+        _, nis = jax.lax.scan(body, 0, keys)
+        return nis[-1]
 
     d1, d2, p1, p2 = map(jnp.asarray, (d1, d2, p1, p2))
     # pre-generate per-iteration keys: host-side split inside the timing
     # loop would serialize dispatch and dominate the measurement
-    all_keys = jax.random.split(jax.random.PRNGKey(0), (iters + 1) * BATCH)
-    all_keys = all_keys.reshape(iters + 1, BATCH, 2)
+    all_keys = jax.random.split(jax.random.PRNGKey(0), (iters + 1) * inner * BATCH)
+    all_keys = all_keys.reshape(iters + 1, inner, BATCH, 2)
 
     # warmup / compile
-    out = step(d1, d2, p1, p2, all_keys[0])
+    out = run(d1, d2, p1, p2, all_keys[0])
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        out = step(d1, d2, p1, p2, all_keys[i + 1])
+        out = run(d1, d2, p1, p2, all_keys[i + 1])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    pairs_per_sec = BATCH * iters / dt
-    mean_inliers = float(jnp.mean(out[0]))
+    pairs_per_sec = BATCH * inner * iters / dt
+    mean_inliers = float(jnp.mean(out))
     return pairs_per_sec, mean_inliers
 
 
