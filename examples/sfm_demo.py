@@ -6,6 +6,8 @@ of images once frame IO lands) and reports ATE vs ground truth.
 Usage:
   python examples/sfm_demo.py [--frames N] [--landmarks L] [--platform cpu|tpu]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import sys
 

@@ -8,6 +8,8 @@ Usage:
   python examples/slam_demo.py --tum  /path/to/rgbd_dataset_freiburg1_xyz [--frames 100]
   python examples/slam_demo.py --kitti /path/to/kitti_odometry --seq 00 [--frames 200]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import sys
 import time

@@ -8,6 +8,8 @@ Usage:
   python examples/two_view_demo.py IMG1 IMG2 [--out OUT_DIR]
       [--config surf_parity|orb|ransac] [--platform cpu|tpu] [--seed N]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import sys
 
