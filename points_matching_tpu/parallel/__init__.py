@@ -8,6 +8,10 @@ from points_matching_tpu.parallel.mesh import (  # noqa: F401
     shard,
 )
 from points_matching_tpu.parallel.all_pairs import all_pairs_scores  # noqa: F401
+from points_matching_tpu.parallel.pipeline import (  # noqa: F401
+    STAGE_AXIS,
+    pipeline_stages,
+)
 from points_matching_tpu.parallel.sharded_ba import (  # noqa: F401
     distributed_bundle_adjust,
     shard_ba_state,
