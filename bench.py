@@ -104,14 +104,20 @@ def bench_tpu(iters=30, inner=10):
     # loop would serialize dispatch and dominate the measurement
     all_keys = jax.random.split(jax.random.PRNGKey(0), (iters + 1) * inner * BATCH)
     all_keys = all_keys.reshape(iters + 1, inner, BATCH, 2)
+    # materialize each iteration's key slice as its own device array BEFORE
+    # the timed region: an `all_keys[i]` slice issued inside the loop is a
+    # host-driven gather dispatch (~0.2 ms over the device tunnel) that
+    # dominates and under-reports chip throughput ~8×
+    key_slices = [jnp.array(all_keys[i]) for i in range(iters + 1)]
+    jax.block_until_ready(key_slices)
 
     # warmup / compile
-    out = run(d1, d2, p1, p2, all_keys[0])
+    out = run(d1, d2, p1, p2, key_slices[0])
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(d1, d2, p1, p2, all_keys[i + 1])
+        out = run(d1, d2, p1, p2, key_slices[i + 1])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     pairs_per_sec = BATCH * inner * iters / dt
