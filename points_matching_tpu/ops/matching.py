@@ -130,17 +130,22 @@ def match_descriptors(
     ``config.max_matches``) with surviving matches compacted to the front.
     """
     k = 2 if (config.filter == "ratio") else 1
-    if _use_pallas_path(d1, d2, config):
+    use_pallas = _use_pallas_path(d1, d2, config)
+
+    def _fused_top2(dq: Descriptors, dt: Descriptors) -> Tuple[Array, Array]:
         if config.metric == "hamming":
             from points_matching_tpu.ops.pallas.hamming import fused_hamming_top2
 
-            dist, idx = fused_hamming_top2(d1.data, d2.data, d2.mask)
+            dist, idx = fused_hamming_top2(dq.data, dt.data, dt.mask)
         else:
             from points_matching_tpu.ops.pallas.matching_kernel import fused_l2_top2
 
-            dist, idx = fused_l2_top2(d1.data, d2.data, d2.mask)
+            dist, idx = fused_l2_top2(dq.data, dt.data, dt.mask)
         # query-side masking (the kernels only mask train rows)
-        dist = jnp.where(d1.mask[..., None], dist, _BIG)
+        return jnp.where(dq.mask[..., None], dist, _BIG), idx
+
+    if use_pallas:
+        dist, idx = _fused_top2(d1, d2)
     else:
         dist, idx = knn_match(d1, d2, k=k, metric=config.metric)
     best = dist[..., 0]
@@ -176,8 +181,14 @@ def match_descriptors(
     keep = jnp.logical_and(keep, valid)
 
     if config.cross_check:
-        # mutual 1-NN: train j's best query must be this query i
-        dt, it = knn_match(d2, d1, k=1, metric=config.metric)
+        # mutual 1-NN: train j's best query must be this query i.  The
+        # reverse pass rides the same fused kernel when the Pallas backend
+        # is active — otherwise it would re-materialize the [N2, N1] matrix
+        # the forward kernel exists to avoid.
+        if use_pallas:
+            _, it = _fused_top2(d2, d1)
+        else:
+            _, it = knn_match(d2, d1, k=1, metric=config.metric)
         reverse_best = jnp.take(it[..., 0], jnp.clip(best_idx, 0, d2.capacity - 1), axis=-1)
         qi = jnp.arange(d1.capacity)
         keep = jnp.logical_and(keep, reverse_best == qi)

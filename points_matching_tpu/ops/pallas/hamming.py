@@ -45,7 +45,7 @@ def _popcount_u32(x: Array) -> Array:
 
 
 def _hamming_top2_kernel(q_ref, tT_ref, bias_ref, d_out, i_out,
-                         best1, best2, idx1):
+                         best1, best2, idx1, idx2):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -66,30 +66,40 @@ def _hamming_top2_kernel(q_ref, tT_ref, bias_ref, d_out, i_out,
     i1_local = jnp.min(jnp.where(d <= m1, col, tt), axis=1, keepdims=True)
     masked = jnp.where(col == i1_local, _BIG, d)
     m2 = jnp.min(masked, axis=1, keepdims=True)
+    i2_local = jnp.min(jnp.where(masked <= m2, col, tt), axis=1, keepdims=True)
     g1 = (j * tt + i1_local).astype(jnp.int32)
+    g2 = (j * tt + i2_local).astype(jnp.int32)
 
     @pl.when(j == 0)
     def _():
         best1[:] = m1
         best2[:] = m2
         idx1[:] = g1
+        idx2[:] = g2
 
     @pl.when(j > 0)
     def _():
         b1 = best1[:]
         b2 = best2[:]
         ix = idx1[:]
+        ix2 = idx2[:]
         best1[:] = jnp.minimum(b1, m1)
         idx1[:] = jnp.where(m1 < b1, g1, ix)
-        # runner-up: best of (loser of the b1/m1 duel, b2, m2)
-        best2[:] = jnp.minimum(jnp.minimum(b2, m2), jnp.maximum(b1, m1))
+        # runner-up: best of (loser of the b1/m1 duel, min(b2, m2)) — values
+        # and indices updated in lockstep so i_out[:, 1] is the true 2-NN.
+        loser_v = jnp.maximum(b1, m1)
+        loser_i = jnp.where(m1 < b1, ix, g1)
+        cand_v = jnp.minimum(b2, m2)
+        cand_i = jnp.where(m2 < b2, g2, ix2)
+        best2[:] = jnp.minimum(loser_v, cand_v)
+        idx2[:] = jnp.where(loser_v < cand_v, loser_i, cand_i)
 
     @pl.when(j == nj - 1)
     def _():
         d_out[:, 0:1] = best1[:]
         d_out[:, 1:2] = best2[:]
         i_out[:, 0:1] = idx1[:]
-        i_out[:, 1:2] = idx1[:]  # runner-up index not tracked (unused)
+        i_out[:, 1:2] = idx2[:]
 
 
 def _pad_to(x: Array, n: int, axis: int, value=0) -> Array:
@@ -120,7 +130,7 @@ def fused_hamming_top2(
     Returns:
       (dist [N1, 2] float32 Hamming counts — column 1 is the runner-up for
       the ratio test; idx [N1, 2] int32 — column 0 is the 1-NN index,
-      column 1 duplicates it).  Matches ``knn_match(..., k=2,
+      column 1 the 2-NN index).  Matches ``knn_match(..., k=2,
       metric='hamming')`` semantics for valid rows; caller applies
       query-side masking.
     """
@@ -159,6 +169,7 @@ def fused_hamming_top2(
         scratch_shapes=[
             pltpu.VMEM((tile_q, 1), jnp.float32),
             pltpu.VMEM((tile_q, 1), jnp.float32),
+            pltpu.VMEM((tile_q, 1), jnp.int32),
             pltpu.VMEM((tile_q, 1), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(

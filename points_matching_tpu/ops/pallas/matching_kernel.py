@@ -28,7 +28,7 @@ _BIG = 1e30
 
 
 def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
-                 best1, best2, idx1):
+                 best1, best2, idx1, idx2):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -51,26 +51,38 @@ def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
     i1_local = jnp.min(jnp.where(is_min, col, tt), axis=1, keepdims=True)
     masked = jnp.where(col == i1_local, _BIG, d)
     m2 = jnp.min(masked, axis=1, keepdims=True)
+    is_min2 = masked <= m2
+    i2_local = jnp.min(jnp.where(is_min2, col, tt), axis=1, keepdims=True)
     g1 = (j * tt + i1_local).astype(jnp.int32)
+    g2 = (j * tt + i2_local).astype(jnp.int32)
 
     @pl.when(j == 0)
     def _():
         best1[:] = m1
         best2[:] = m2
         idx1[:] = g1
+        idx2[:] = g2
 
     @pl.when(j > 0)
     def _():
         b1 = best1[:]
         b2 = best2[:]
         ix = idx1[:]
+        ix2 = idx2[:]
         new_b1 = jnp.minimum(b1, m1)
         new_ix = jnp.where(m1 < b1, g1, ix)
-        # runner-up: best of (loser of the b1/m1 duel, b2, m2)
-        new_b2 = jnp.minimum(jnp.minimum(b2, m2), jnp.maximum(b1, m1))
+        # runner-up: best of (loser of the b1/m1 duel, min(b2, m2)) — track
+        # values and indices in lockstep so i_out[:, 1] is the true 2-NN.
+        loser_v = jnp.maximum(b1, m1)
+        loser_i = jnp.where(m1 < b1, ix, g1)
+        cand_v = jnp.minimum(b2, m2)
+        cand_i = jnp.where(m2 < b2, g2, ix2)
+        new_b2 = jnp.minimum(loser_v, cand_v)
+        new_i2 = jnp.where(loser_v < cand_v, loser_i, cand_i)
         best1[:] = new_b1
         best2[:] = new_b2
         idx1[:] = new_ix
+        idx2[:] = new_i2
 
     @pl.when(j == nj - 1)
     def _():
@@ -78,7 +90,7 @@ def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
         d_out[:, 0:1] = jnp.maximum(best1[:] + q2, 0.0)
         d_out[:, 1:2] = jnp.maximum(best2[:] + q2, 0.0)
         i_out[:, 0:1] = idx1[:]
-        i_out[:, 1:2] = idx1[:]  # runner-up index not tracked (unused)
+        i_out[:, 1:2] = idx2[:]
 
 
 def _pad_to(x: Array, n: int, axis: int, value=0.0) -> Array:
@@ -107,11 +119,11 @@ def fused_l2_top2(
 
     Returns:
       (dist [N1, 2] squared-L2 — column 1 is the runner-up for the ratio
-      test, idx [N1, 2] int32 — column 0 is the 1-NN index; column 1 is a
-      duplicate placeholder).
+      test, idx [N1, 2] int32 — column 0 is the 1-NN index, column 1 the
+      2-NN index).
 
-    Matches ``knn_match(..., k=2)``'s (dist, idx[:, 0]) semantics for valid
-    rows.  The caller applies query-side masking.
+    Matches ``knn_match(..., k=2)`` semantics for valid rows.  The caller
+    applies query-side masking.
     """
     n1, d = q.shape
     n2 = t.shape[0]
@@ -150,6 +162,7 @@ def fused_l2_top2(
         scratch_shapes=[
             pltpu.VMEM((tile_q, 1), jnp.float32),
             pltpu.VMEM((tile_q, 1), jnp.float32),
+            pltpu.VMEM((tile_q, 1), jnp.int32),
             pltpu.VMEM((tile_q, 1), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(

@@ -35,6 +35,17 @@ def test_fused_l2_top2_matches_reference(n1, n2):
                                np.asarray(ref_dist[:, 0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_dist[:, 1]),
                                np.asarray(ref_dist[:, 1]), atol=1e-5)
+    # runner-up index: must differ from the 1-NN and attain the runner-up
+    # distance (tie-robust — any argmin among ties is acceptable)
+    from points_matching_tpu.ops.matching import distance_matrix
+
+    d1 = Descriptors(data=q, mask=jnp.ones((n1,), bool))
+    d2 = Descriptors(data=t, mask=t_mask)
+    dmat = np.asarray(distance_matrix(d1, d2))
+    i2 = np.asarray(out_idx[:, 1])
+    assert np.all(i2 != np.asarray(out_idx[:, 0]))
+    np.testing.assert_allclose(dmat[np.arange(n1), i2],
+                               np.asarray(ref_dist[:, 1]), atol=1e-5)
 
 
 def test_fused_l2_top2_duplicate_descriptors():
@@ -94,6 +105,14 @@ def test_fused_hamming_top2_matches_reference(n1, n2):
     np.testing.assert_array_equal(np.asarray(out_dist[:, 0]),
                                   np.asarray(ref_dist[:, 0], np.float32))
     np.testing.assert_array_equal(np.asarray(out_dist[:, 1]),
+                                  np.asarray(ref_dist[:, 1], np.float32))
+    # runner-up index attains the runner-up distance and differs from 1-NN
+    from points_matching_tpu.ops.matching import distance_matrix
+
+    dmat = np.asarray(distance_matrix(d1, d2, metric="hamming"))
+    i2 = np.asarray(out_idx[:, 1])
+    assert np.all(i2 != np.asarray(out_idx[:, 0]))
+    np.testing.assert_array_equal(dmat[np.arange(n1), i2],
                                   np.asarray(ref_dist[:, 1], np.float32))
     # best index must agree wherever the minimum is unique
     unique = np.asarray(ref_dist[:, 0]) != np.asarray(ref_dist[:, 1])
@@ -222,6 +241,33 @@ def test_ransac_fundamental_pallas_backend_agrees():
     np.testing.assert_array_equal(np.asarray(ref.inlier_mask),
                                   np.asarray(out.inlier_mask))
     assert int(out.num_inliers) >= int(0.6 * N)  # found the true consensus
+
+
+def test_match_descriptors_pallas_cross_check_agrees():
+    """Mutual cross-check through the Pallas backend (reverse pass rides the
+    fused kernel — no [N2, N1] matrix) must agree with the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from points_matching_tpu.core.config import MatcherConfig
+    from points_matching_tpu.ops.matching import match_descriptors
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    q = jax.random.normal(k1, (160, 64))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = q[jnp.arange(160)[::-1]] + 0.05 * jax.random.normal(k2, (160, 64))
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    d1 = Descriptors(data=q, mask=jnp.arange(160) < 150)
+    d2 = Descriptors(data=t, mask=jnp.arange(160) >= 6)
+
+    cfg = dict(filter="ratio", ratio=0.9, cross_check=True)
+    ref = match_descriptors(d1, d2, MatcherConfig(backend="xla", **cfg))
+    with pltpu.force_tpu_interpret_mode():
+        out = match_descriptors(d1, d2, MatcherConfig(backend="pallas", **cfg))
+
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(out.mask))
+    m = np.asarray(ref.mask)
+    np.testing.assert_array_equal(np.asarray(ref.train_idx)[m],
+                                  np.asarray(out.train_idx)[m])
 
 
 def test_fused_l2_top2_all_train_masked_out_but_some():

@@ -1,0 +1,116 @@
+"""Compiled (non-interpret) Pallas kernel parity on real TPU hardware.
+
+The main suite runs on a faked 8-device CPU mesh (conftest.py) where the
+Pallas kernels execute in interpret mode; these tests compile them through
+Mosaic on an actual TPU and check parity against the XLA reference path.
+
+Gated behind ``PMT_TPU_TESTS=1`` so the CPU suite never contends for the
+single tunneled chip.  Run only this file when enabling it:
+
+    PMT_TPU_TESTS=1 python -m pytest tests/test_tpu_compiled.py -q
+
+(Reference hot path: ``Points Matching/main.cpp:44-46`` — descriptor
+matching; ``main.cpp:95-98`` — fundamental estimation.)
+"""
+import os
+
+import pytest
+
+_ON = os.environ.get("PMT_TPU_TESTS") == "1"
+if _ON:
+    import jax
+
+    _ON = jax.devices()[0].platform in ("tpu", "axon")
+
+pytestmark = pytest.mark.skipif(
+    not _ON, reason="real-TPU compiled-kernel tests need PMT_TPU_TESTS=1 + a TPU"
+)
+
+
+def test_fused_l2_top2_compiled_parity():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from points_matching_tpu.core.types import Descriptors
+    from points_matching_tpu.ops.matching import knn_match
+    from points_matching_tpu.ops.pallas.matching_kernel import fused_l2_top2
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    n1, n2 = 512, 768
+    q = jax.random.normal(k1, (n1, 64))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = jax.random.normal(k2, (n2, 64))
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t_mask = jnp.arange(n2) < (n2 - 33)
+
+    out_dist, out_idx = fused_l2_top2(q, t, t_mask)  # compiled via Mosaic
+    ref_dist, ref_idx = knn_match(
+        Descriptors(data=q, mask=jnp.ones((n1,), bool)),
+        Descriptors(data=t, mask=t_mask),
+        k=2,
+    )
+    np.testing.assert_array_equal(np.asarray(out_idx[:, 0]),
+                                  np.asarray(ref_idx[:, 0]))
+    np.testing.assert_allclose(np.asarray(out_dist), np.asarray(ref_dist),
+                               atol=2e-4)
+    assert np.all(np.asarray(out_idx[:, 1]) != np.asarray(out_idx[:, 0]))
+
+
+def test_fused_hamming_top2_compiled_parity():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from points_matching_tpu.core.types import Descriptors
+    from points_matching_tpu.ops.matching import knn_match
+    from points_matching_tpu.ops.pallas.hamming import fused_hamming_top2
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    n1, n2 = 512, 512
+    q = jax.random.randint(k1, (n1, 8), 0, 2**31 - 1).astype(jnp.uint32)
+    t = jax.random.randint(k2, (n2, 8), 0, 2**31 - 1).astype(jnp.uint32)
+    t = t.at[:64].set(q[:64])
+    t_mask = jnp.arange(n2) < (n2 - 21)
+
+    out_dist, out_idx = fused_hamming_top2(q, t, t_mask)
+    ref_dist, ref_idx = knn_match(
+        Descriptors(data=q, mask=jnp.ones((n1,), bool), binary=True),
+        Descriptors(data=t, mask=t_mask, binary=True),
+        k=2, metric="hamming",
+    )
+    np.testing.assert_array_equal(np.asarray(out_dist),
+                                  np.asarray(ref_dist, np.float32))
+    unique = np.asarray(ref_dist[:, 0]) != np.asarray(ref_dist[:, 1])
+    np.testing.assert_array_equal(np.asarray(out_idx[:, 0])[unique],
+                                  np.asarray(ref_idx[:, 0])[unique])
+
+
+def test_ransac_scoring_compiled_parity():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from points_matching_tpu.geometry.fundamental import sampson_distance
+    from points_matching_tpu.ops.pallas.ransac_kernel import (
+        ransac_score_hypotheses,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    h, n = 512, 512
+    F_h = jax.random.normal(ks[0], (h, 3, 3))
+    p1 = jax.random.uniform(ks[1], (n, 2), minval=0, maxval=640)
+    p2 = p1 + 2.0 * jax.random.normal(ks[2], (n, 2))
+    mask = jnp.arange(n) < n - 7
+    thr = 1.5
+
+    ref = jnp.sum(
+        jnp.logical_and(
+            sampson_distance(F_h, p1[None], p2[None]) < thr**2, mask[None]
+        ).astype(jnp.int32),
+        axis=-1,
+    )
+    out = ransac_score_hypotheses(F_h, p1, p2, mask, thr)
+    # f32 Sampson on two backends: a residual sitting exactly on the
+    # threshold may flip — allow a tiny count difference per hypothesis
+    assert int(jnp.max(jnp.abs(out - ref))) <= 2
