@@ -71,7 +71,12 @@ class RansacConfig:
     calls ``findFundamentalMat`` without RANSAC — ``main.cpp:95-98``)."""
 
     num_hypotheses: int = 512      # all hypotheses evaluated in one batch
-    sample_size: int = 8           # 8-point minimal(ish) sample
+    sample_size: int = 8           # minimal sample size (ignored for '7pt')
+    solver: str = "8pt"            # '8pt' | '7pt' — '7pt' draws 7-point
+                                   # minimal samples (the flag the reference
+                                   # passes, main.cpp:98) and scores all ≤3
+                                   # cubic roots as extra hypotheses; more
+                                   # sample-efficient at fixed H
     inlier_threshold: float = 1.5  # Sampson distance threshold (pixels)
     refit: bool = True             # least-squares refit on consensus set
     refit_iterations: int = 2      # refit/re-gate rounds after best model

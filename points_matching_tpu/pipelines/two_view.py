@@ -28,8 +28,8 @@ from points_matching_tpu.core.types import (
 )
 from points_matching_tpu.geometry import (
     compute_epilines,
-    eight_point,
     epipolar_residual_audit,
+    find_fundamental,
     ransac_fundamental,
     sampson_distance,
 )
@@ -83,7 +83,16 @@ def two_view_pipeline(
     if config.use_ransac:
         est = ransac_fundamental(key, p1, p2, w, config.ransac)
     else:
-        F = eight_point(p1, p2, w.astype(p1.dtype))
+        # OpenCV CV_FM_7POINT dispatch parity (main.cpp:95-98): 7-point for
+        # exactly 7 good matches, normalized 8-point least squares
+        # otherwise; among ≤3 root candidates keep the best-supported one.
+        F_cand, cand_valid = find_fundamental(p1, p2, w)
+        d_cand = sampson_distance(F_cand, p1[None], p2[None])        # [3, M]
+        counts = jnp.sum(
+            jnp.logical_and(d_cand < config.ransac.inlier_threshold ** 2,
+                            w[None]).astype(jnp.int32), axis=-1)
+        counts = jnp.where(cand_valid, counts, -1)
+        F = F_cand[jnp.argmax(counts)]
         d = sampson_distance(F, p1, p2)
         inl = jnp.logical_and(d < config.ransac.inlier_threshold ** 2, w)
         _, res_mean = epipolar_residual_audit(F, p1, p2, w, form="reference")

@@ -122,6 +122,55 @@ def test_seven_point_contains_cv2_solution():
         assert min(errs) < 5e-3, f"root {k}: {errs}"
 
 
+def test_find_fundamental_exactly7_dispatch_matches_cv2():
+    """The exact call the reference makes — findFundamentalMat(CV_FM_7POINT)
+    with exactly 7 points (main.cpp:95-98) — through our dispatch."""
+    from points_matching_tpu.geometry import find_fundamental
+
+    sc = _scene(noise=0.0, n=16, seed=2)
+    mask = jnp.arange(16) < 7  # exactly 7 valid → 7-point branch
+    Fs, valid = find_fundamental(sc.p1, sc.p2, mask)
+    F_cv, _ = cv2.findFundamentalMat(
+        np.asarray(sc.p1[:7], np.float64), np.asarray(sc.p2[:7], np.float64),
+        cv2.FM_7POINT,
+    )
+    ours = [_norm(Fs[i]) for i in range(3) if bool(valid[i])]
+    for k in range(F_cv.shape[0] // 3):
+        F_k = _norm(F_cv[3 * k: 3 * k + 3])
+        errs = [np.abs(F_k - Fo).max() for Fo in ours]
+        assert min(errs) < 5e-3, f"root {k}: {errs}"
+
+    # >7 valid → 8-point least-squares branch (OpenCV 2.4's fallback)
+    from points_matching_tpu.geometry import eight_point as _8pt
+
+    full_mask = jnp.ones((16,), bool)
+    Fs8, valid8 = find_fundamental(sc.p1, sc.p2, full_mask)
+    assert bool(valid8[0]) and not bool(valid8[1])
+    np.testing.assert_allclose(
+        _norm(Fs8[0]), _norm(_8pt(sc.p1, sc.p2)), atol=1e-5
+    )
+
+
+def test_ransac_7pt_inliers_match_cv2():
+    """7-point minimal sampling through the full RANSAC path vs cv2's
+    FM_RANSAC consensus (cv2's own RANSAC also samples 7-point sets)."""
+    from points_matching_tpu.core.config import RansacConfig
+
+    sc = _scene(noise=0.5, n=256, outliers=0.3, seed=4)
+    est = ransac_fundamental(
+        jax.random.PRNGKey(0), sc.p1, sc.p2, sc.mask,
+        RansacConfig(solver="7pt", num_hypotheses=512),
+    )
+    F_cv, mask_cv = cv2.findFundamentalMat(
+        np.asarray(sc.p1, np.float64), np.asarray(sc.p2, np.float64),
+        cv2.FM_RANSAC, 1.5, 0.999,
+    )
+    ours = np.asarray(est.inlier_mask)
+    cv = mask_cv.ravel().astype(bool)
+    iou = (ours & cv).sum() / max((ours | cv).sum(), 1)
+    assert iou > 0.85, f"inlier IoU {iou}"
+
+
 def test_ransac_inliers_match_cv2():
     sc = _scene(noise=0.5, n=256, outliers=0.3, seed=4)
     est = ransac_fundamental(jax.random.PRNGKey(0), sc.p1, sc.p2, sc.mask)
