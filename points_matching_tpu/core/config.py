@@ -63,6 +63,13 @@ class MatcherConfig:
     backend: str = "auto"          # 'auto' | 'xla' | 'pallas' — 'auto' uses
                                    # the fused Pallas kernel on TPU for the
                                    # plain-l2 1-NN/ratio path
+    compute_dtype: str = "f32"     # 'f32' | 'bf16' — 'bf16' runs the
+                                   # distance GEMM on the MXU's native bf16
+                                   # path (f32 accumulation; ~4× the f32
+                                   # matmul throughput).  Distances keep
+                                   # ~1e-2 relative accuracy — fine for
+                                   # ratio/threshold gating; use f32 for
+                                   # exact-parity runs
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,15 +26,22 @@ from points_matching_tpu.geometry.fundamental import (
 )
 
 
-def _use_pallas_scoring(config: RansacConfig) -> bool:
+def _use_pallas_scoring(config: RansacConfig, num_points: int) -> bool:
     """Route hypothesis scoring to the fused Pallas Sampson kernel.
 
-    'auto' enables it on TPU backends; the kernel vmaps cleanly (Pallas adds
-    a leading grid dimension), so the gate also holds inside per-pair vmaps.
+    'auto' enables it on TPU only when the [H, N] score matrix is large
+    enough that avoiding its HBM round-trip pays for the kernel's fixed
+    overhead — measured on the bench chip: at 512×512 the one-fused-XLA
+    path is ~2× faster end-to-end (0.09 vs 0.19 ms per 8×64-pair step);
+    the kernel wins once [H, N] stops fitting comfortably in cache.
+    The kernel vmaps cleanly (Pallas adds a leading grid dimension), so
+    the gate also holds inside per-pair vmaps.
     """
     if config.backend == "pallas":
         return True
     if config.backend != "auto":
+        return False
+    if config.num_hypotheses * num_points < 2048 * 2048:
         return False
     try:
         platform = jax.devices()[0].platform
@@ -97,7 +104,7 @@ def ransac_fundamental(
         hyp_valid = jnp.ones((F_h.shape[0],), bool)
 
     # Score all hypotheses against all correspondences.
-    if _use_pallas_scoring(config):
+    if _use_pallas_scoring(config, n):
         # Fused Pallas path: only the [H] counts leave the chip; the best
         # hypothesis's [N] inlier mask is recomputed from its F alone.
         from points_matching_tpu.ops.pallas.ransac_kernel import (

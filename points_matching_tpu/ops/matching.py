@@ -46,24 +46,33 @@ def hamming_distance_matrix(a_bits: Array, b_bits: Array) -> Array:
     return jnp.sum(_popcount(x), axis=-1)
 
 
-def l2_distance_matrix(a: Array, b: Array) -> Array:
+def l2_distance_matrix(a: Array, b: Array, compute_dtype: str = "f32") -> Array:
     """[N1, D] × [N2, D] → [N1, N2] squared-L2 distances via the GEMM
-    identity ‖a−b‖² = ‖a‖² + ‖b‖² − 2⟨a, b⟩ (MXU path)."""
+    identity ‖a−b‖² = ‖a‖² + ‖b‖² − 2⟨a, b⟩ (MXU path).
+
+    ``compute_dtype='bf16'`` feeds the GEMM bf16 operands (f32 accumulation
+    — the MXU's native mode, ~4× f32 matmul throughput); the norms stay f32
+    so the diagonal is exact.
+    """
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    if compute_dtype == "bf16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     ab = jnp.einsum("...id,...jd->...ij", a, b, preferred_element_type=jnp.float32)
     d2 = a2 + jnp.swapaxes(b2, -1, -2) - 2.0 * ab
     return jnp.maximum(d2, 0.0)
 
 
 def distance_matrix(
-    d1: Descriptors, d2: Descriptors, metric: str = "l2"
+    d1: Descriptors, d2: Descriptors, metric: str = "l2",
+    compute_dtype: str = "f32",
 ) -> Array:
     """Masked distance matrix [N1, N2]; invalid rows/cols get +inf-like."""
     if metric == "hamming":
         d = hamming_distance_matrix(d1.data, d2.data).astype(jnp.float32)
     elif metric == "l2":
-        d = l2_distance_matrix(d1.data, d2.data)
+        d = l2_distance_matrix(d1.data, d2.data, compute_dtype)
     elif metric == "dot":
         d = -jnp.einsum(
             "...id,...jd->...ij", d1.data, d2.data, preferred_element_type=jnp.float32
@@ -77,14 +86,15 @@ def distance_matrix(
 
 
 def knn_match(
-    d1: Descriptors, d2: Descriptors, k: int = 2, metric: str = "l2"
+    d1: Descriptors, d2: Descriptors, k: int = 2, metric: str = "l2",
+    compute_dtype: str = "f32",
 ) -> Tuple[Array, Array]:
     """k nearest train descriptors per query row.
 
     Returns (dist [N1, k], idx [N1, k]); distances are squared-L2 for the
     'l2' metric (take sqrt for FLANN/DMatch parity).
     """
-    d = distance_matrix(d1, d2, metric)
+    d = distance_matrix(d1, d2, metric, compute_dtype)
     neg_topk, idx = jax.lax.top_k(-d, k)
     return -neg_topk, idx
 
@@ -147,7 +157,8 @@ def match_descriptors(
     if use_pallas:
         dist, idx = _fused_top2(d1, d2)
     else:
-        dist, idx = knn_match(d1, d2, k=k, metric=config.metric)
+        dist, idx = knn_match(d1, d2, k=k, metric=config.metric,
+                              compute_dtype=config.compute_dtype)
     best = dist[..., 0]
     best_idx = idx[..., 0]
 
@@ -188,7 +199,8 @@ def match_descriptors(
         if use_pallas:
             _, it = _fused_top2(d2, d1)
         else:
-            _, it = knn_match(d2, d1, k=1, metric=config.metric)
+            _, it = knn_match(d2, d1, k=1, metric=config.metric,
+                              compute_dtype=config.compute_dtype)
         reverse_best = jnp.take(it[..., 0], jnp.clip(best_idx, 0, d2.capacity - 1), axis=-1)
         qi = jnp.arange(d1.capacity)
         keep = jnp.logical_and(keep, reverse_best == qi)

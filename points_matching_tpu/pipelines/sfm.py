@@ -25,6 +25,7 @@ from flax import struct
 from jax import Array
 
 from points_matching_tpu.ba.lm import bundle_adjust, grid_from_obs, make_ba_state
+from points_matching_tpu.ba.sparse import bundle_adjust_sparse, make_sparse_ba_state
 from points_matching_tpu.core.config import BAConfig, MatcherConfig, RansacConfig, SfMConfig
 from points_matching_tpu.core.types import (
     CameraIntrinsics,
@@ -436,25 +437,30 @@ def local_bundle_adjust(
     in_win = jnp.logical_and(
         jnp.arange(C) >= first, jnp.arange(C) < state.num_cams
     )
-    # ALL observations constrain the system (the [C, L] grid is dense
-    # regardless, so this costs nothing): out-of-window cameras are
+    # ALL observations constrain the system: out-of-window cameras are
     # gauge-fixed but their measurements anchor shared landmarks.
     # Restricting to in-window observations leaves the monocular scale
     # gauge free and every BA quietly shrinks the map (observed: camera
     # centers collapsing toward the origin over a 12-frame run).
-    uv_grid, m_grid = grid_from_obs(
-        state.obs_cam, state.obs_lm, state.obs_uv, state.obs_mask, C, L
+    # The sparse engine consumes the [O] observation lists directly —
+    # the [C, L] grid (128×8192 at default capacities, rebuilt every
+    # ba_every frames in the dense form) never exists.
+    ba_state = make_sparse_ba_state(
+        state.poses, state.X, state.obs_cam, state.obs_lm, state.obs_uv,
+        state.obs_mask, num_fixed_cameras=0,
     )
-    ba_state = make_ba_state(state.poses, state.X, uv_grid, m_grid,
-                             num_fixed_cameras=0)
     # fix everything outside the window, the window's first camera, and
     # always cameras 0-1 (two fixed cameras pin the 7th, scale, gauge DOF)
     fixed = jnp.logical_or(~in_win, jnp.arange(C) <= first)
     fixed = jnp.logical_or(fixed, jnp.arange(C) <= 1)
     ba_state = ba_state.replace(cam_fixed=fixed)
-    out, stats_ba = bundle_adjust(ba_state, K, config.ba)
+    out, stats_ba = bundle_adjust_sparse(ba_state, K, config.ba)
 
-    lm_obs = jnp.any(m_grid, axis=0)
+    lm_obs = (
+        jnp.zeros((L,), bool)
+        .at[jnp.clip(state.obs_lm, 0, L - 1)]
+        .max(state.obs_mask)
+    )
     X_new = jnp.where(lm_obs[:, None], out.X, state.X)
     poses_new = jax.tree.map(
         lambda a, b: jnp.where(

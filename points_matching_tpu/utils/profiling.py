@@ -27,10 +27,17 @@ _CHIP_PEAKS = {
 
 
 def chip_peaks() -> Dict[str, float]:
-    kind = jax.devices()[0].device_kind.lower()
+    dev = jax.devices()[0]
+    kind = dev.device_kind.lower()
     for key, peaks in _CHIP_PEAKS.items():
         if key in kind:
             return peaks
+    # Unknown TPU chip (e.g. an experimental platform like 'axon' whose
+    # device_kind string doesn't name a known generation): falling back to
+    # the 1-TFLOP CPU peak would make every roofline fraction nonsense, so
+    # assume the most common current chip (v5e) instead.
+    if dev.platform in ("tpu", "axon"):
+        return _CHIP_PEAKS["v5e"]
     return _CHIP_PEAKS["cpu"]
 
 
