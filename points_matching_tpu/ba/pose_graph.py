@@ -118,21 +118,110 @@ class PGOStats(NamedTuple):
     final_cost: Array
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+def _solve_dense(g: PoseGraph, Hii, Hjj, Hij, b, damping) -> Array:
+    """Materialize [6P, 6P] and Cholesky-solve — exact, O(P²) memory."""
+    P = g.num_poses
+    H = jnp.zeros((P, 6, P, 6), b.dtype)
+    H = H.at[g.edges_i, :, g.edges_i, :].add(Hii)
+    H = H.at[g.edges_j, :, g.edges_j, :].add(Hjj)
+    H = H.at[g.edges_i, :, g.edges_j, :].add(Hij)
+    H = H.at[g.edges_j, :, g.edges_i, :].add(jnp.swapaxes(Hij, -1, -2))
+
+    # Gauge fixing: project fixed poses out of the system.
+    free = (~g.fixed).astype(b.dtype)
+    Hd = H.reshape(P * 6, P * 6)
+    fr = jnp.repeat(free, 6)
+    Hd = Hd * fr[:, None] * fr[None, :]
+    Hd = Hd + jnp.diag(jnp.where(fr > 0, damping, 1.0))
+    bd = b.reshape(P * 6) * fr
+
+    L = jnp.linalg.cholesky(Hd + 1e-9 * jnp.eye(P * 6, dtype=b.dtype))
+    return jax.scipy.linalg.cho_solve((L, True), bd).reshape(P, 6)
+
+
+def _solve_pcg(g: PoseGraph, Hii, Hjj, Hij, b, damping,
+               iterations: int) -> Array:
+    """Matrix-free block-sparse PCG (VERDICT r1 item 10).
+
+    Never materializes [6P, 6P]: the Hessian-vector product gathers x at
+    the edge endpoints, applies the per-edge 6×6 blocks (batched einsum —
+    MXU work), and scatter-adds back — O(E·36) memory, so KITTI-00-length
+    trajectories (thousands of poses) fit.  Block-Jacobi preconditioner
+    from the exact 6×6 diagonal blocks.
+    """
+    P = g.num_poses
+    free = (~g.fixed).astype(b.dtype)[:, None]          # [P, 1]
+    b = b * free
+
+    def hv(x: Array) -> Array:
+        x = x * free
+        xi = x[g.edges_i]
+        xj = x[g.edges_j]
+        ci = jnp.einsum("eij,ej->ei", Hii, xi) + jnp.einsum(
+            "eij,ej->ei", Hij, xj)
+        cj = jnp.einsum("eji,ej->ei", Hij, xi) + jnp.einsum(
+            "eij,ej->ei", Hjj, xj)
+        out = jax.ops.segment_sum(ci, g.edges_i, num_segments=P)
+        out = out + jax.ops.segment_sum(cj, g.edges_j, num_segments=P)
+        return (out + damping * x) * free
+
+    # Block-Jacobi: exact diagonal blocks, damped; identity on fixed poses
+    # (their rows of b are zero, so PCG keeps them at zero).
+    D = jax.ops.segment_sum(Hii, g.edges_i, num_segments=P)
+    D = D + jax.ops.segment_sum(Hjj, g.edges_j, num_segments=P)
+    D = D + damping * jnp.eye(6, dtype=b.dtype)
+    D = jnp.where(g.fixed[:, None, None], jnp.eye(6, dtype=b.dtype), D)
+    Minv = jnp.linalg.inv(D)
+    precond = lambda r: jnp.einsum("pij,pj->pi", Minv, r) * free
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Ap = hv(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x, r, p, rz))
+    return x
+
+
+# Above this many poses the dense [6P, 6P] Cholesky is replaced by the
+# matrix-free PCG under solver="auto" (dense is exact and faster when small).
+_DENSE_POSE_LIMIT = 384
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "solver",
+                                   "pcg_iterations"))
 def optimize_pose_graph(
     g: PoseGraph,
     max_iterations: int = 20,
     damping: float = 1e-6,
     rtol: float = 1e-9,
+    solver: str = "auto",
+    pcg_iterations: int = 100,
 ) -> Tuple[PoseGraph, PGOStats]:
     """Gauss-Newton (lightly damped) pose-graph optimization.
 
-    The [6P, 6P] normal matrix assembles by scatter-adding the four 6×6
-    blocks of each edge (segment-sum over the edge axis) — fine up to a few
-    thousand poses; beyond that the SLAM layer partitions the trajectory
-    (SURVEY.md §5 long-context analogue).
+    ``solver``: "dense" (Cholesky on the materialized [6P, 6P] system),
+    "pcg" (matrix-free block-sparse PCG — linear memory in edges), or
+    "auto" (dense up to ``_DENSE_POSE_LIMIT`` poses, PCG beyond).
     """
     P = g.num_poses
+    if solver == "auto":
+        solver = "dense" if P <= _DENSE_POSE_LIMIT else "pcg"
+    if solver not in ("dense", "pcg"):
+        raise ValueError(f"unknown pose-graph solver: {solver!r}")
     cost0 = pose_graph_cost(g)
 
     def step(carry):
@@ -146,26 +235,14 @@ def optimize_pose_graph(
         Hij = jnp.einsum("e,eki,ekj->eij", w, Ji, Jj)
         bi = -jnp.einsum("e,eki,ek->ei", w, Ji, r)
         bj = -jnp.einsum("e,eki,ek->ei", w, Jj, r)
-
-        H = jnp.zeros((P, 6, P, 6), r.dtype)
-        H = H.at[g.edges_i, :, g.edges_i, :].add(Hii)
-        H = H.at[g.edges_j, :, g.edges_j, :].add(Hjj)
-        H = H.at[g.edges_i, :, g.edges_j, :].add(Hij)
-        H = H.at[g.edges_j, :, g.edges_i, :].add(jnp.swapaxes(Hij, -1, -2))
         b = jnp.zeros((P, 6), r.dtype)
         b = b.at[g.edges_i].add(bi)
         b = b.at[g.edges_j].add(bj)
 
-        # Gauge fixing: project fixed poses out of the system.
-        free = (~g.fixed).astype(r.dtype)
-        Hd = H.reshape(P * 6, P * 6)
-        fr = jnp.repeat(free, 6)
-        Hd = Hd * fr[:, None] * fr[None, :]
-        Hd = Hd + jnp.diag(jnp.where(fr > 0, damping, 1.0))
-        bd = b.reshape(P * 6) * fr
-
-        L = jnp.linalg.cholesky(Hd + 1e-9 * jnp.eye(P * 6, dtype=r.dtype))
-        dx = jax.scipy.linalg.cho_solve((L, True), bd).reshape(P, 6)
+        if solver == "dense":
+            dx = _solve_dense(g, Hii, Hjj, Hij, b, damping)
+        else:
+            dx = _solve_pcg(g, Hii, Hjj, Hij, b, damping, pcg_iterations)
         dx = jnp.where(g.fixed[:, None], 0.0, dx)
 
         Rd, td = se3_exp(dx)

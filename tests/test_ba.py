@@ -212,3 +212,70 @@ def test_pose_graph_corrects_drift_with_loop_closure():
     err_before = float(jnp.mean(jnp.linalg.norm(init.t - gt.t, axis=-1)))
     err_after = float(jnp.mean(jnp.linalg.norm(out.poses.t - gt.t, axis=-1)))
     assert err_after <= err_before
+
+
+def test_pose_graph_pcg_matches_dense():
+    """The matrix-free block-sparse PCG must reach the dense Cholesky
+    solution (VERDICT r1 item 10)."""
+    gt = _circle_poses(n=24)
+    key = jax.random.PRNGKey(9)
+    g = make_odometry_chain(gt, key, odom_noise=0.02,
+                            loop_edges=((0, 23), (0, 12)), loop_weight=20.0)
+    # integrate noisy odometry for a drifted initial guess
+    poses = [jax.tree.map(lambda a: a[0], gt)]
+    for e in range(23):
+        Zi = jax.tree.map(lambda a: a[e], g.Z)
+        poses.append(Zi.inverse().compose(poses[-1]))
+    init = Pose(R=jnp.stack([p.R for p in poses]),
+                t=jnp.stack([p.t for p in poses]))
+    g0 = g.replace(poses=init)
+
+    out_d, st_d = optimize_pose_graph(g0, max_iterations=15, solver="dense")
+    out_p, st_p = optimize_pose_graph(g0, max_iterations=15, solver="pcg",
+                                      pcg_iterations=200)
+    # same optimum: costs agree and trajectories coincide
+    assert float(st_p.final_cost) <= 1.05 * float(st_d.final_cost) + 1e-10
+    np.testing.assert_allclose(np.asarray(out_p.poses.t),
+                               np.asarray(out_d.poses.t), atol=5e-3)
+
+
+def test_pose_graph_pcg_scales_to_long_trajectory():
+    """KITTI-00-length trajectory (2048 poses): the dense [6P, 6P] system
+    would be 12288² f32 = 600 MB per step; the PCG path never builds it."""
+    n = 2048
+    ang = jnp.linspace(0.0, 4.0 * jnp.pi, n)
+    from points_matching_tpu.geometry.se3 import so3_exp
+    wvecs = jnp.stack([jnp.zeros_like(ang), ang, jnp.zeros_like(ang)], -1)
+    t = jnp.stack([50.0 * jnp.cos(ang), 0.02 * jnp.arange(n),
+                   50.0 * jnp.sin(ang)], -1)
+    gt = Pose(R=so3_exp(wvecs).astype(jnp.float32), t=t.astype(jnp.float32))
+    loops = (tuple((i, i + n // 2) for i in range(0, n // 2, 64))
+             + ((0, n - 1),))
+    g = make_odometry_chain(gt, jax.random.PRNGKey(11), odom_noise=0.005,
+                            loop_edges=loops, loop_weight=20.0)
+
+    # drifted init: integrate the noisy odometry chain from pose 0
+    def integrate(carry, e):
+        R, t_ = carry
+        zi = Pose(R=g.Z.R[e], t=g.Z.t[e]).inverse()
+        nxt = zi.compose(Pose(R=R, t=t_))
+        return (nxt.R, nxt.t), (nxt.R, nxt.t)
+
+    _, (Rs, ts) = jax.lax.scan(integrate, (gt.R[0], gt.t[0]),
+                               jnp.arange(n - 1))
+    init = Pose(R=jnp.concatenate([gt.R[:1], Rs]),
+                t=jnp.concatenate([gt.t[:1], ts]))
+    g0 = g.replace(poses=init)
+    c0 = float(pose_graph_cost(g0))
+
+    out, stats = optimize_pose_graph(g0, max_iterations=8, solver="auto",
+                                     pcg_iterations=150)
+    # measurements (including the 17 loop closures) become satisfied...
+    assert float(stats.final_cost) < 1e-3 * c0
+    # ...and the accumulated drift at the loop-closing end pose collapses
+    # (mean error stays odometry-noise-bound mid-trajectory — the loops tie
+    # pairs of equally-uncertain poses, so only the closures pin to GT)
+    drift_before = float(jnp.linalg.norm(init.t[-1] - gt.t[-1]))
+    drift_after = float(jnp.linalg.norm(out.poses.t[-1] - gt.t[-1]))
+    assert drift_before > 1.0        # the init really had drifted
+    assert drift_after < 0.1 * drift_before
