@@ -14,6 +14,7 @@ the corrected poses written back into the SfM state.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -67,16 +68,19 @@ def detect_loop_candidates(
     return cands[:max_candidates]
 
 
-def verify_loop(
+def _verify_loop_traced(
     kps_i: Array, desc_i: Array, mask_i: Array,
     kps_j: Array, desc_j: Array, mask_j: Array,
     K: CameraIntrinsics,
     config: SfMConfig,
     key: Array,
-    min_inliers: int = 30,
-) -> Tuple[bool, Optional[Pose], int]:
-    """Geometric verification: two-view RANSAC F → E → (R, t̂) between the
-    two frames.  Returns (ok, pose_i←j with UNIT translation, inliers)."""
+    min_inliers: int,
+) -> Tuple[Array, Pose, Array]:
+    """Device-resident geometric verification of ONE candidate: two-view
+    RANSAC F → E → (R, t̂).  Fully traced (no host syncs) so candidates
+    batch under vmap — the per-candidate ``float()``/``int()`` transfers
+    this replaces were a scaling bug at large candidate counts.
+    Returns (ok bool, pose_i←j with unit/zero translation, inliers)."""
     m = match_descriptors(
         Descriptors(data=desc_j, mask=mask_j),
         Descriptors(data=desc_i, mask=mask_i),
@@ -86,9 +90,6 @@ def verify_loop(
     pj = jnp.take(kps_j, jnp.clip(m.query_idx, 0, n - 1), axis=0)
     pi = jnp.take(kps_i, jnp.clip(m.train_idx, 0, n - 1), axis=0)
     est = ransac_fundamental(key, pj, pi, m.mask, config.two_view.ransac)
-    ninl = int(est.num_inliers)
-    if ninl < min_inliers:
-        return False, None, ninl
     E = essential_from_fundamental(est.F, K.matrix(), K.matrix())
     w = jnp.logical_and(m.mask, est.inlier_mask)
     pjn = K.normalize_points(pj)
@@ -107,13 +108,46 @@ def verify_loop(
     cosang = jnp.clip(jnp.sum(ri * ri_rot, axis=-1), -1.0, 1.0)
     ang = jnp.where(w, jnp.arccos(cosang), jnp.inf)
     k = jnp.maximum(jnp.sum(w.astype(jnp.int32)) // 2, 0)
-    parallax = jnp.sort(ang)[k]
-    if float(parallax) < 0.01:
-        pose = Pose(R=pose.R, t=jnp.zeros_like(pose.t))
+    low_parallax = jnp.sort(ang)[k] < 0.01
 
-    if int(jnp.sum(cheir.astype(jnp.int32))) < min_inliers // 2 and float(parallax) >= 0.01:
-        return False, None, ninl
-    return True, pose, ninl
+    t = jnp.where(low_parallax, jnp.zeros_like(pose.t), pose.t)
+    cheir_ok = jnp.sum(cheir.astype(jnp.int32)) >= min_inliers // 2
+    ok = jnp.logical_and(
+        est.num_inliers >= min_inliers,
+        jnp.logical_or(low_parallax, cheir_ok),
+    )
+    return ok, Pose(R=pose.R, t=t), est.num_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("config", "min_inliers"))
+def _verify_loops_batched(
+    kps_i, desc_i, mask_i, kps_j, desc_j, mask_j, K, keys, config,
+    min_inliers,
+):
+    """vmap of ``_verify_loop_traced`` over the candidate axis — ONE device
+    round-trip for the whole candidate set."""
+    fn = lambda a, b, c, d, e, f, k: _verify_loop_traced(
+        a, b, c, d, e, f, K, config, k, min_inliers)
+    return jax.vmap(fn)(kps_i, desc_i, mask_i, kps_j, desc_j, mask_j, keys)
+
+
+def verify_loop(
+    kps_i: Array, desc_i: Array, mask_i: Array,
+    kps_j: Array, desc_j: Array, mask_j: Array,
+    K: CameraIntrinsics,
+    config: SfMConfig,
+    key: Array,
+    min_inliers: int = 30,
+) -> Tuple[bool, Optional[Pose], int]:
+    """Single-candidate convenience wrapper (one host transfer at the end)."""
+    ok, pose, ninl = _verify_loop_traced(
+        kps_i, desc_i, mask_i, kps_j, desc_j, mask_j, K, config, key,
+        min_inliers,
+    )
+    ok_h, R_h, t_h, ninl_h = jax.device_get((ok, pose.R, pose.t, ninl))
+    if not bool(ok_h):
+        return False, None, int(ninl_h)
+    return True, Pose(R=jnp.asarray(R_h), t=jnp.asarray(t_h)), int(ninl_h)
 
 
 def close_loops(
@@ -142,19 +176,31 @@ def close_loops(
         desc, mask, min_gap=min_gap, min_score=min_score, mesh=mesh,
         ratio=config.two_view.matcher.ratio,
     )
-    key = jax.random.PRNGKey(seed)
-    verified: List[LoopCandidate] = []
-    for c in cands:
-        key, k = jax.random.split(key)
-        ok, rel, ninl = verify_loop(
-            frames[c.i][0], frames[c.i][1], frames[c.i][2],
-            frames[c.j][0], frames[c.j][1], frames[c.j][2],
-            K, config, k,
-        )
-        c.verified = ok
-        c.num_inliers = ninl
-        if ok:
-            verified.append((c, rel))
+    if not cands:
+        return poses, cands
+
+    # Batched device-resident verification: stack the candidate frames,
+    # vmap the whole set through one jit region, sync ONCE.
+    ci = np.asarray([c.i for c in cands])
+    cj = np.asarray([c.j for c in cands])
+    kps = jnp.stack([f[0] for f in frames[:C]])
+    kps_i, desc_i, mask_i = kps[ci], desc[ci], mask[ci]
+    kps_j, desc_j, mask_j = kps[cj], desc[cj], mask[cj]
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(cands))
+    ok_b, rel_b, ninl_b = _verify_loops_batched(
+        kps_i, desc_i, mask_i, kps_j, desc_j, mask_j, K, keys, config,
+        30,
+    )
+    ok_h, R_h, t_h, ninl_h = jax.device_get(
+        (ok_b, rel_b.R, rel_b.t, ninl_b))
+
+    verified: List[Tuple[LoopCandidate, Pose]] = []
+    for n_c, c in enumerate(cands):
+        c.verified = bool(ok_h[n_c])
+        c.num_inliers = int(ninl_h[n_c])
+        if c.verified:
+            verified.append(
+                (c, Pose(R=jnp.asarray(R_h[n_c]), t=jnp.asarray(t_h[n_c]))))
 
     if not verified:
         return poses, cands
