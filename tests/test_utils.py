@@ -71,3 +71,58 @@ def test_roofline_report_runs():
 def test_chip_peaks_known():
     peaks = chip_peaks()
     assert peaks["flops"] > 0 and peaks["hbm_gbps"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Sanitizers (SURVEY.md §5): checkify hooks + debug_mode
+# ---------------------------------------------------------------------------
+
+def test_checked_flags_nan():
+    from points_matching_tpu.utils.sanitize import checked
+
+    def bad(x):
+        return jnp.sqrt(x - 10.0)  # negative → NaN
+
+    out, err = jax.jit(checked(bad))(jnp.asarray(1.0))
+    with pytest.raises(Exception, match="nan"):
+        err.throw()
+    # clean input passes
+    out, err = jax.jit(checked(bad))(jnp.asarray(11.0))
+    err.throw()
+    np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+def test_checked_flags_oob_gather():
+    from points_matching_tpu.utils.sanitize import checked
+
+    def gather(x, i):
+        return x[i]
+
+    x = jnp.arange(4.0)
+    _, err = jax.jit(checked(gather))(x, jnp.asarray(7))
+    with pytest.raises(Exception, match="out-of-bounds|index"):
+        err.throw()
+
+
+def test_checked_two_view_pipeline_clean():
+    """The flagship pipeline runs NaN/OOB-clean under full checkify."""
+    from points_matching_tpu.utils.sanitize import checked
+    from points_matching_tpu.pipelines.two_view import two_view_pipeline
+    import __graft_entry__ as ge
+
+    cfg = ge._small_config()
+    fn, (img1, img2, key) = ge.entry()
+    out, err = jax.jit(
+        checked(lambda a, b, k: two_view_pipeline(a, b, k, cfg).estimate.F)
+    )(img1, img2, key)
+    err.throw()
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_debug_mode_restores_flags():
+    from points_matching_tpu.utils.sanitize import debug_mode
+
+    before = jax.config.jax_debug_nans
+    with debug_mode(nans=True):
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == before
