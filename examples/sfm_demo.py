@@ -105,7 +105,10 @@ def main() -> int:
 
     if args.loop_closure:
         from points_matching_tpu.pipelines.loop_closure import close_loops
-        from points_matching_tpu.pipelines.sfm import camera_centers
+        from points_matching_tpu.pipelines.sfm import (
+            camera_centers,
+            local_bundle_adjust,
+        )
 
         corrected, cands = close_loops(
             res.state.poses, int(res.state.num_cams), frames, K, cfg,
@@ -118,6 +121,18 @@ def main() -> int:
             jnp.asarray(traj2), jnp.asarray(np.stack(gt_centers))
         )
         print(f"ATE after loop closure: {float(ate2.rmse):.4f}")
+
+        # standard SLAM backend order: pose-graph closure, then a global BA
+        # re-polish (the pose graph alone discards landmark information)
+        st2, _ = local_bundle_adjust(
+            res.state.replace(poses=corrected), K, cfg,
+            window=int(res.state.num_cams),
+        )
+        traj3 = np.asarray(camera_centers(st2.poses, st2.cam_mask))[: args.frames]
+        ate3 = absolute_trajectory_error(
+            jnp.asarray(traj3), jnp.asarray(np.stack(gt_centers))
+        )
+        print(f"ATE after closure + global BA: {float(ate3.rmse):.4f}")
     return 0 if n_reg == args.frames else 1
 
 
