@@ -18,10 +18,15 @@ Duplicate (c, l) observations are handled exactly (their normal-equation
 contributions add), unlike the dense grid's last-write-wins conversion.
 
 Distribution: shard the observation axis; every segment_sum becomes a
-local partial + ``psum`` over the mesh (see ``parallel/sharded_ba.py`` for
-the grid analogue).  Replaces nothing — the dense grid stays the fastest
-layout for small, dense problems (two-view, local windows ≤ a few cameras
-× few-k landmarks); ``pipelines/sfm.py`` picks per problem size.
+local partial + ``psum`` over the mesh.  That plan is implemented here —
+every assembly/matvec helper takes ``axis_name``; when set (inside a
+``shard_map`` whose per-observation arrays are split on that mesh axis,
+see ``parallel.sharded_ba.distributed_bundle_adjust_sparse``) each
+segment_sum reduces the local observations and a ``psum`` completes the
+global sum, leaving U/V/g/S·x replicated while Wo/cam/lm stay local.
+Replaces nothing — the dense grid stays the fastest layout for small,
+dense problems (two-view, local windows ≤ a few cameras × few-k
+landmarks); ``pipelines/sfm.py`` picks per problem size.
 
 (Extension surface beyond the reference, which has no BA at all —
 ``Points Matching/main.cpp`` stops at F; SURVEY.md §2.3/§7 stage 6.)
@@ -29,7 +34,7 @@ layout for small, dense problems (two-view, local windows ≤ a few cameras
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +46,14 @@ from points_matching_tpu.ba.schur import _damp, _inv3
 from points_matching_tpu.core.config import BAConfig
 from points_matching_tpu.core.types import CameraIntrinsics, Pose
 from points_matching_tpu.geometry.se3 import se3_exp
+
+
+def _preduce(x, axis_name: Optional[str]):
+    """Complete a segment_sum across the observation shards: identity when
+    single-device, ``psum`` when running under shard_map."""
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
 
 
 @struct.dataclass
@@ -152,11 +165,18 @@ class SparseNormalEq(NamedTuple):
 
 
 def build_sparse_normal_equations(
-    state: SparseBAState, r: Array, Jc: Array, Jl: Array, weights: Array
+    state: SparseBAState,
+    r: Array,
+    Jc: Array,
+    Jl: Array,
+    weights: Array,
+    axis_name: Optional[str] = None,
 ) -> SparseNormalEq:
     """Segment-sum assembly of the GN blocks from observation lists.
 
     weights: [O] (robust IRLS × validity; 0 for invalid rows).
+    With ``axis_name``, O is the per-device shard and U/V/bc/bl are psum'd
+    to replicated; Wo/cam/lm remain the local shard.
     """
     C, L = state.num_cameras, state.num_landmarks
     cam = jnp.clip(state.cam_idx, 0, C - 1)
@@ -171,59 +191,83 @@ def build_sparse_normal_equations(
     bco = -jnp.einsum("oki,ok->oi", Jc, wr)            # [O, 6]
     blo = -jnp.einsum("oki,ok->oi", Jl, wr)            # [O, 3]
 
-    U = jax.ops.segment_sum(Uo, cam, num_segments=C)
-    V = jax.ops.segment_sum(Vo, lm, num_segments=L)
-    bc = jax.ops.segment_sum(bco, cam, num_segments=C)
-    bl = jax.ops.segment_sum(blo, lm, num_segments=L)
+    U = _preduce(jax.ops.segment_sum(Uo, cam, num_segments=C), axis_name)
+    V = _preduce(jax.ops.segment_sum(Vo, lm, num_segments=L), axis_name)
+    bc = _preduce(jax.ops.segment_sum(bco, cam, num_segments=C), axis_name)
+    bl = _preduce(jax.ops.segment_sum(blo, lm, num_segments=L), axis_name)
     return SparseNormalEq(U=U, V=V, Wo=Wo, bc=bc, bl=bl, cam=cam, lm=lm)
 
 
 def sparse_schur_matvec(
-    eq: SparseNormalEq, Vinv: Array, lam: Array, x: Array
+    eq: SparseNormalEq,
+    Vinv: Array,
+    lam: Array,
+    x: Array,
+    axis_name: Optional[str] = None,
 ) -> Array:
-    """Implicit S @ x = (U − W V⁻¹ Wᵀ) x via two segment-sums.  [C, 6]."""
+    """Implicit S @ x = (U − W V⁻¹ Wᵀ) x via two segment-sums.  [C, 6].
+
+    Distributed: x, U, Vinv are replicated; the two segment-sums reduce the
+    local observation shard and psum to global ([L, 3] then [C, 6]) — the
+    exact "local partial + psum" plan from the module docstring.
+    """
     C = eq.U.shape[0]
     L = eq.V.shape[0]
     U = _damp(eq.U, lam)
     Ux = jnp.einsum("cij,cj->ci", U, x)
     # t_l = Σ_{o: lm(o)=l} W_oᵀ x_{cam(o)}
     Wtx = jnp.einsum("oij,oi->oj", eq.Wo, x[eq.cam])        # [O, 3]
-    t = jax.ops.segment_sum(Wtx, eq.lm, num_segments=L)     # [L, 3]
+    t = _preduce(
+        jax.ops.segment_sum(Wtx, eq.lm, num_segments=L), axis_name
+    )                                                        # [L, 3]
     u = jnp.einsum("lij,lj->li", Vinv, t)                   # [L, 3]
     # y_c = Σ_{o: cam(o)=c} W_o u_{lm(o)}
     Wu = jnp.einsum("oij,oj->oi", eq.Wo, u[eq.lm])          # [O, 6]
-    y = jax.ops.segment_sum(Wu, eq.cam, num_segments=C)     # [C, 6]
+    y = _preduce(
+        jax.ops.segment_sum(Wu, eq.cam, num_segments=C), axis_name
+    )                                                        # [C, 6]
     return Ux - y
 
 
-def _sparse_schur_prep(eq: SparseNormalEq, lam: Array):
+def _sparse_schur_prep(
+    eq: SparseNormalEq, lam: Array, axis_name: Optional[str] = None
+):
     """Damped V⁻¹, reduced gradient g, and the Jacobi preconditioner
     (exact 6×6 diagonal blocks of S, one segment-sum)."""
     C = eq.U.shape[0]
-    L = eq.V.shape[0]
     Vinv = _inv3(_damp(eq.V, lam))
     # g = bc − W V⁻¹ bl
     Vb = jnp.einsum("lij,lj->li", Vinv, eq.bl)              # [L, 3]
     WVb = jnp.einsum("oij,oj->oi", eq.Wo, Vb[eq.lm])        # [O, 6]
-    g = eq.bc - jax.ops.segment_sum(WVb, eq.cam, num_segments=C)
+    g = eq.bc - _preduce(
+        jax.ops.segment_sum(WVb, eq.cam, num_segments=C), axis_name
+    )
     # diag blocks: S_cc = U_c − Σ_{o: cam=c} W_o Vinv_{lm(o)} W_oᵀ
     WVWo = jnp.einsum("oij,ojk,olk->oil", eq.Wo, Vinv[eq.lm], eq.Wo)
-    S_diag = _damp(eq.U, lam) - jax.ops.segment_sum(
-        WVWo, eq.cam, num_segments=C
+    S_diag = _damp(eq.U, lam) - _preduce(
+        jax.ops.segment_sum(WVWo, eq.cam, num_segments=C), axis_name
     )
     Minv = jnp.linalg.inv(S_diag)
     return Vinv, g, Minv
 
 
 def solve_sparse_schur_pcg(
-    eq: SparseNormalEq, lam: Array, iterations: int = 50
+    eq: SparseNormalEq,
+    lam: Array,
+    iterations: int = 50,
+    axis_name: Optional[str] = None,
 ) -> Tuple[Array, Array]:
     """Jacobi-preconditioned CG on the implicit reduced camera system +
-    landmark back-substitution.  Returns (dc [C, 6], dl [L, 3])."""
-    L = eq.V.shape[0]
-    Vinv, g, Minv = _sparse_schur_prep(eq, lam)
+    landmark back-substitution.  Returns (dc [C, 6], dl [L, 3]).
 
-    mv = lambda x: sparse_schur_matvec(eq, Vinv, lam, x)
+    Distributed: the CG state (x, r, p — all [C, 6]) is replicated, so the
+    dot products need no collective; only the two segment-sums inside each
+    matvec psum.
+    """
+    L = eq.V.shape[0]
+    Vinv, g, Minv = _sparse_schur_prep(eq, lam, axis_name)
+
+    mv = lambda x: sparse_schur_matvec(eq, Vinv, lam, x, axis_name)
     precond = lambda r: jnp.einsum("cij,cj->ci", Minv, r)
 
     x = jnp.zeros_like(g)
@@ -247,13 +291,18 @@ def solve_sparse_schur_pcg(
     dc, r, p, rz = jax.lax.fori_loop(0, iterations, body, (x, r, p, rz))
     # back-substitute: dl = V⁻¹ (bl − Σ_{o: lm=l} W_oᵀ dc_{cam(o)})
     Wtdc = jnp.einsum("oij,oi->oj", eq.Wo, dc[eq.cam])
-    rhs = eq.bl - jax.ops.segment_sum(Wtdc, eq.lm, num_segments=L)
+    rhs = eq.bl - _preduce(
+        jax.ops.segment_sum(Wtdc, eq.lm, num_segments=L), axis_name
+    )
     dl = jnp.einsum("lij,lj->li", Vinv, rhs)
     return dc, dl
 
 
 def sparse_ba_cost(
-    state: SparseBAState, K: CameraIntrinsics, huber_delta: float = 0.0
+    state: SparseBAState,
+    K: CameraIntrinsics,
+    huber_delta: float = 0.0,
+    axis_name: Optional[str] = None,
 ) -> Array:
     r = sparse_residuals(state, K)
     if huber_delta > 0:
@@ -263,7 +312,7 @@ def sparse_ba_cost(
         )
     else:
         per = 0.5 * jnp.sum(r * r, axis=-1)
-    return jnp.sum(jnp.where(state.obs_mask, per, 0.0))
+    return _preduce(jnp.sum(jnp.where(state.obs_mask, per, 0.0)), axis_name)
 
 
 def _sparse_huber_weights(r: Array, delta: float) -> Array:
@@ -288,30 +337,29 @@ def _apply_update(state: SparseBAState, dc: Array, dl: Array) -> SparseBAState:
     return state.replace(poses=Pose(R=newR, t=newt), X=state.X + dl)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def bundle_adjust_sparse(
+def _bundle_adjust_sparse_impl(
     state: SparseBAState,
     K: CameraIntrinsics,
-    config: BAConfig = BAConfig(),
+    config: BAConfig,
+    axis_name: Optional[str] = None,
 ) -> Tuple[SparseBAState, SparseLMStats]:
-    """LM on observation lists — same contract as ``ba.lm.bundle_adjust``
-    (monotone cost, whole loop one jit region) at O(O) memory.
-
-    Solver is always the implicit-Schur PCG (``config.pcg_iterations``);
-    a dense Cholesky would need the [C6, C6] S this layout avoids.
-    """
-    cost0 = sparse_ba_cost(state, K, config.huber_delta)
+    """LM loop body shared by the single-device jit and the shard_map'd
+    distributed path (``axis_name`` set ⇒ per-observation arrays are the
+    local shard; poses/X/stats replicated)."""
+    cost0 = sparse_ba_cost(state, K, config.huber_delta, axis_name)
 
     def step(carry):
         state, lam, cost, it, done = carry
         r, Jc, Jl = sparse_residuals_and_jacobians(state, K)
         w = _sparse_huber_weights(r, config.huber_delta)
         w = w * state.obs_mask.astype(r.dtype)
-        eq = build_sparse_normal_equations(state, r, Jc, Jl, w)
-        dc, dl = solve_sparse_schur_pcg(eq, lam, config.pcg_iterations)
+        eq = build_sparse_normal_equations(state, r, Jc, Jl, w, axis_name)
+        dc, dl = solve_sparse_schur_pcg(
+            eq, lam, config.pcg_iterations, axis_name
+        )
 
         new_state = _apply_update(state, dc, dl)
-        new_cost = sparse_ba_cost(new_state, K, config.huber_delta)
+        new_cost = sparse_ba_cost(new_state, K, config.huber_delta, axis_name)
         accept = new_cost < cost
 
         state = jax.tree.map(
@@ -335,3 +383,18 @@ def bundle_adjust_sparse(
     return state, SparseLMStats(
         iterations=it, initial_cost=cost0, final_cost=cost, lam=lam
     )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def bundle_adjust_sparse(
+    state: SparseBAState,
+    K: CameraIntrinsics,
+    config: BAConfig = BAConfig(),
+) -> Tuple[SparseBAState, SparseLMStats]:
+    """LM on observation lists — same contract as ``ba.lm.bundle_adjust``
+    (monotone cost, whole loop one jit region) at O(O) memory.
+
+    Solver is always the implicit-Schur PCG (``config.pcg_iterations``);
+    a dense Cholesky would need the [C6, C6] S this layout avoids.
+    """
+    return _bundle_adjust_sparse_impl(state, K, config, axis_name=None)

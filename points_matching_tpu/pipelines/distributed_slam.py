@@ -47,10 +47,17 @@ from points_matching_tpu.ba.lm import (
     grid_from_obs,
     make_ba_state,
 )
+from points_matching_tpu.ba.sparse import (
+    bundle_adjust_sparse,
+    make_sparse_ba_state,
+)
 from points_matching_tpu.core.config import SfMConfig
 from points_matching_tpu.core.types import CameraIntrinsics, Pose
 from points_matching_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from points_matching_tpu.parallel.sharded_ba import distributed_bundle_adjust
+from points_matching_tpu.parallel.sharded_ba import (
+    distributed_bundle_adjust,
+    distributed_bundle_adjust_sparse,
+)
 from points_matching_tpu.pipelines.sfm import (
     SfMState,
     bootstrap_two_view,
@@ -400,21 +407,26 @@ def run_distributed_slam(
     ba_stats = None
     X_out = jnp.asarray(merged["X"])
     if global_ba:
-        uv_grid, m_grid = grid_from_obs(
+        # Observation-list (sparse) BA: the merged global problem is exactly
+        # the regime the dense [C, L] grid cannot scale to (VERDICT r2
+        # item 4) — O(observations) memory, duplicate (c, l) rows handled
+        # additively, and the observation axis shards over the mesh.
+        ba_state = make_sparse_ba_state(
+            poses, X_out,
             jnp.asarray(merged["obs_cam"]), jnp.asarray(merged["obs_lm"]),
             jnp.asarray(merged["obs_uv"]), jnp.asarray(merged["obs_mask"]),
-            C_g, L_g,
         )
-        ba_state = make_ba_state(poses, X_out, uv_grid, m_grid)
         fixed = jnp.logical_or(~jnp.asarray(cam_valid), jnp.arange(C_g) <= 1)
         ba_state = ba_state.replace(cam_fixed=fixed)
         cfg = ba_config if ba_config is not None else dataclasses.replace(
             config.ba, huber_delta=max(config.ba.huber_delta, 3.0)
         )
         if mesh is not None and MODEL_AXIS in mesh.shape:
-            out, ba_stats = distributed_bundle_adjust(ba_state, K, mesh, cfg)
+            out, ba_stats = distributed_bundle_adjust_sparse(
+                ba_state, K, mesh, cfg
+            )
         else:
-            out, ba_stats = bundle_adjust(ba_state, K, cfg)
+            out, ba_stats = bundle_adjust_sparse(ba_state, K, cfg)
         poses = jax.tree.map(
             lambda new, old: jnp.where(
                 np.asarray(cam_valid).reshape((C_g,) + (1,) * (new.ndim - 1)),

@@ -25,6 +25,10 @@ _CHIP_PEAKS = {
     "cpu": dict(flops=1e12, hbm_gbps=100.0),
 }
 
+# Minimum resolvable single-call gap in fetch-sync mode (the fetch latency
+# jitter measured on the tunneled backend is ~±40 ms; see bench.py).
+_FETCH_NOISE_FLOOR_S = 0.1
+
 
 def chip_peaks() -> Dict[str, float]:
     dev = jax.devices()[0]
@@ -66,6 +70,9 @@ class RooflineReport:
     fraction_of_roofline: Optional[float]
     bandwidth_gbps: Optional[float]
     arithmetic_intensity: Optional[float]
+    # False when the measured wall time is below the sync noise floor
+    # (fetch-mode only): the rate fields are then None rather than garbage.
+    reliable: bool = True
 
     def __str__(self):
         f = lambda v, fmt: (fmt % v) if v is not None else "n/a"
@@ -89,7 +96,10 @@ def _fetch_sync(out) -> float:
     """
     import jax.numpy as jnp
 
-    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
+    leaves = [
+        l for l in jax.tree.leaves(out)
+        if hasattr(l, "ravel") and getattr(l, "size", 0) > 0
+    ]
     if not leaves:
         return 0.0
     s = jnp.stack([l.ravel()[0].astype(jnp.float32) for l in leaves]).sum()
@@ -117,6 +127,7 @@ def roofline(
     out = jitted(*args, **kwargs)  # compile through the normal jit path
     if sync == "auto":
         sync = "fetch" if jax.devices()[0].platform == "axon" else "loop"
+    reliable = True
 
     if sync == "loop":
         jax.block_until_ready(out)
@@ -142,6 +153,12 @@ def roofline(
             lambda: _fetch_sync(jitted(*args, **kwargs))
         )
         wall = max(total - intercept, 1e-9)
+        # Fetch latency jitters by ~±40 ms on the tunneled backend; a
+        # single-call difference below that floor is indistinguishable
+        # from noise, so refuse to report a rate (ADVICE r2: clamping to
+        # 1e-9 turned sub-ms ops into absurd >100% roofline fractions).
+        if total - intercept < _FETCH_NOISE_FLOOR_S:
+            reliable = False
 
     # Cost analysis strictly AFTER the jit warmup: on 'axon', an AOT
     # lower().compile() issued before the first jit execution poisons the
@@ -157,7 +174,7 @@ def roofline(
         flops, bts = None, None
 
     peaks = chip_peaks()
-    achieved = flops / wall / 1e12 if flops else None
+    achieved = flops / wall / 1e12 if (flops and reliable) else None
     return RooflineReport(
         wall_s=wall,
         flops=flops,
@@ -165,6 +182,7 @@ def roofline(
         achieved_tflops=achieved,
         peak_tflops=peaks["flops"] / 1e12,
         fraction_of_roofline=(achieved / (peaks["flops"] / 1e12)) if achieved else None,
-        bandwidth_gbps=(bts / wall / 1e9) if bts else None,
+        bandwidth_gbps=(bts / wall / 1e9) if (bts and reliable) else None,
         arithmetic_intensity=(flops / bts) if (flops and bts) else None,
+        reliable=reliable,
     )

@@ -145,6 +145,58 @@ def test_sparse_handles_duplicate_observations():
     assert float(stats.final_cost) < float(stats.initial_cost)
 
 
+def test_distributed_sparse_ba_matches_single_device():
+    """Observation-sharded LM on the faked 8-device mesh must reproduce the
+    single-device result bit-for-policy (same math, psum-completed sums;
+    VERDICT r2 item 4)."""
+    from points_matching_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+    from points_matching_tpu.parallel.sharded_ba import (
+        distributed_bundle_adjust_sparse,
+    )
+
+    _, sparse, K = _problem_pair(seed=3, noise=0.3)
+    key = jax.random.PRNGKey(11)
+    sparse = sparse.replace(X=sparse.X + 0.08 * jax.random.normal(key, sparse.X.shape))
+    cfg = BAConfig(max_iterations=10, rtol=0.0, pcg_iterations=40)
+
+    ref_out, ref_stats = bundle_adjust_sparse(sparse, K, cfg)
+
+    mesh = make_mesh((8,), axes=(MODEL_AXIS,))
+    out, stats = distributed_bundle_adjust_sparse(sparse, K, mesh, cfg)
+
+    assert int(stats.iterations) == int(ref_stats.iterations)
+    np.testing.assert_allclose(float(stats.initial_cost),
+                               float(ref_stats.initial_cost), rtol=1e-5)
+    # psum partials reduce in a different f32 order than one segment_sum;
+    # 10 LM accept/reject decisions amplify that — same tolerance class as
+    # the dense-vs-sparse parity test above
+    np.testing.assert_allclose(float(stats.final_cost),
+                               float(ref_stats.final_cost), rtol=7e-2)
+    assert float(stats.final_cost) < 0.5 * float(stats.initial_cost)
+    np.testing.assert_allclose(np.asarray(out.poses.t),
+                               np.asarray(ref_out.poses.t), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref_out.X),
+                               atol=1e-1)
+
+
+def test_distributed_sparse_ba_pads_ragged_observation_axis():
+    """O not divisible by the mesh axis: padding with masked rows must not
+    change the optimum."""
+    from points_matching_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+    from points_matching_tpu.parallel.sharded_ba import (
+        distributed_bundle_adjust_sparse,
+    )
+
+    _, sparse, K = _problem_pair(seed=9, cameras=4, landmarks=21, drop=0.3)
+    assert sparse.num_observations % 8 != 0  # the case under test
+    cfg = BAConfig(max_iterations=4, rtol=0.0, pcg_iterations=25)
+    ref_out, ref_stats = bundle_adjust_sparse(sparse, K, cfg)
+    mesh = make_mesh((8,), axes=(MODEL_AXIS,))
+    out, stats = distributed_bundle_adjust_sparse(sparse, K, mesh, cfg)
+    np.testing.assert_allclose(float(stats.final_cost),
+                               float(ref_stats.final_cost), rtol=1e-3)
+
+
 def test_sparse_ba_at_scale_dense_grid_cannot_hold():
     """256 cameras × 65 536 landmarks: the dense coupling W would be
     [256, 65536, 6, 3] f32 ≈ 1.2 TB.  The sparse engine runs it in
