@@ -471,6 +471,51 @@ def local_bundle_adjust(
     return state.replace(poses=poses_new, X=X_new), stats_ba.final_cost
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "ba_every", "window")
+)
+def register_frames_chunk(
+    state: SfMState,
+    kps_xy: Array,      # [F, N, 2]
+    desc: Array,        # [F, N, D]
+    fmask: Array,       # [F, N]
+    frame_idx: Array,   # [F] int32 global frame numbers (for the BA cadence)
+    K: CameraIntrinsics,
+    key: Array,
+    config: SfMConfig,
+    ba_every: int,
+    window: int,
+) -> Tuple[SfMState, StepStats]:
+    """Register a CHUNK of frames in one dispatch: ``lax.scan`` over the
+    per-frame registration step with a ``lax.cond``-gated local BA every
+    ``ba_every`` frames — the ``build_submap`` shape applied to the
+    flagship single-host driver.
+
+    This removes the per-frame host sync (VERDICT r2 item 5): on the
+    tunneled backend a dependent fetch costs ~1.3 s, so the old
+    one-``bool(st.registered)``-per-frame loop paid ~2 min of pure sync on
+    a 100-frame run; here the host sees one fetch per chunk.
+    """
+    def body(carry, x):
+        state, key = carry
+        xy, d, m, i = x
+        key, ki = jax.random.split(key)
+        state, st = register_frame(state, xy, d, m, K, ki, config)
+        do_ba = jnp.logical_and(st.registered, (i % ba_every) == 0)
+        state = jax.lax.cond(
+            do_ba,
+            lambda s: local_bundle_adjust(s, K, config, window)[0],
+            lambda s: s,
+            state,
+        )
+        return (state, key), st
+
+    (state, _), stats = jax.lax.scan(
+        body, (state, key), (kps_xy, desc, fmask, frame_idx)
+    )
+    return state, stats
+
+
 # ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
@@ -495,9 +540,15 @@ def run_incremental_sfm(
     config: SfMConfig = SfMConfig(),
     seed: int = 0,
     ba_every: int = 4,
+    chunk_size: int = 16,
 ) -> SfMResult:
-    """Host loop: bootstrap on the first two frames, register the rest,
-    local BA every ``ba_every`` frames (SURVEY.md §3.2 stack)."""
+    """Chunked device loop: bootstrap on the first two frames, then register
+    the rest ``chunk_size`` frames per dispatch (scan + cond-gated local BA
+    inside ``register_frames_chunk``), fetching stats once per chunk
+    (SURVEY.md §3.2 stack; §7 "host loop vs device loop").
+
+    ``chunk_size=1`` reproduces the old frame-at-a-time cadence (one
+    dispatch per frame) when keyframe I/O must interleave."""
     frames = list(frames)
     assert len(frames) >= 2, "need at least two frames"
     n_feat, d_dim = frames[0][1].shape
@@ -514,14 +565,23 @@ def run_incremental_sfm(
     )
     stats_all.append(st)
 
-    for i, (xy, d, m) in enumerate(frames[2:], start=2):
-        key, ki = jax.random.split(key)
-        state, st = register_frame(state, xy, d, m, K, ki, config)
-        stats_all.append(st)
-        registered.append(bool(st.registered))
-        if bool(st.registered) and (i % ba_every == 0):
-            state, _ = local_bundle_adjust(state, K, config,
-                                           window=config.local_ba_window)
+    rest = frames[2:]
+    for c0 in range(0, len(rest), chunk_size):
+        ch = rest[c0 : c0 + chunk_size]
+        xy = jnp.stack([f[0] for f in ch])
+        d = jnp.stack([f[1] for f in ch])
+        m = jnp.stack([f[2] for f in ch])
+        idx = jnp.arange(c0 + 2, c0 + 2 + len(ch), dtype=jnp.int32)
+        key, kc = jax.random.split(key)
+        state, sts = register_frames_chunk(
+            state, xy, d, m, idx, K, kc, config, ba_every,
+            config.local_ba_window,
+        )
+        sts_host = jax.device_get(sts)  # ONE round-trip per chunk
+        for j in range(len(ch)):
+            stj = jax.tree.map(lambda a: a[j], sts_host)
+            stats_all.append(stj)
+            registered.append(bool(stj.registered))
 
     state, _ = local_bundle_adjust(state, K, config,
                                    window=config.local_ba_window)
