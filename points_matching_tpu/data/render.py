@@ -23,8 +23,13 @@ def render_sequence(
     yaw_step: float = 0.01,
     seed: int = 0,
     loop: bool = False,
+    x_span: Tuple[float, float] = (-6.0, 6.0),
 ):
     """Render frames + ground truth.
+
+    ``x_span`` sets the landmark cloud's lateral extent — widen it (roughly
+    to ``(-6, 6 + step * max_offset)``) for long trajectories so the camera
+    never runs out of visible structure.
 
     Returns (images [N, H, W] float32, positions [N, 3] camera centers,
     quats [N, 4] (x,y,z,w) cam-to-world, K tuple (fx, fy, cx, cy)).
@@ -34,7 +39,9 @@ def render_sequence(
     fx = fy = 0.8 * w
     cx, cy = w / 2.0, h / 2.0
 
-    X = rng.uniform([-6, -4, 6], [6, 4, 16], (num_landmarks, 3)).astype(np.float32)
+    X = rng.uniform(
+        [x_span[0], -4, 6], [x_span[1], 4, 16], (num_landmarks, 3)
+    ).astype(np.float32)
     textures = 80.0 + 140.0 * rng.rand(num_landmarks, patch, patch).astype(np.float32)
 
     if loop:

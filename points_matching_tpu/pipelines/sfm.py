@@ -297,12 +297,21 @@ def register_frame(
         jnp.full((q2.shape[0],), 2.0, jnp.float32),
         jnp.zeros((m3d.query_idx.shape[0],), jnp.float32),
     ])
+    # Motion prior: the last registered pose enters the hypothesis pool (a
+    # constant-position model).  With the top-k LO refinement inside
+    # ransac_pnp this removes the sampling-starvation failure mode that
+    # killed long runs (~1 key in 5 collapsed a healthy frame to <12
+    # inliers at ~35% inlier rate; see ransac_pnp docstring).
+    prev_pose = jax.tree.map(
+        lambda a: a[jnp.maximum(cam_idx - 1, 0)], state.poses
+    )
     pnp = ransac_pnp(
         k_pnp, X3d, uvn, corr_m,
         num_hypotheses=config.pnp_hypotheses,
         inlier_threshold=config.two_view.ransac.inlier_threshold
         / jnp.maximum(K.fx, 1.0),
         sample_logits=logits,
+        prior_pose=prev_pose,
     )
     registered = pnp.num_inliers >= config.pnp_min_inliers
 
@@ -354,7 +363,32 @@ def register_frame(
     zc = pnp.pose.transform(Xn)[..., 2]
     new_ok = jnp.logical_and(jnp.logical_and(cand, cheir),
                              jnp.logical_and(zc > 0.05, zc < 100.0))
-    new_ok = jnp.logical_and(new_ok, registered)
+    # Reprojection gate in BOTH views: a false frame↔prev match triangulates
+    # to a point whose rays don't meet — cheirality+depth alone let it into
+    # the map with a 10-100+ px residual, and enough of those collapse
+    # registration a few frames later (measured: map residual p50 0.75 px
+    # but RMS 13-26 px before this gate; the 87→40→9→1 inlier death spiral
+    # on the 100-frame sequence traced back to exactly these).
+    thr_px = config.two_view.ransac.inlier_threshold
+
+    def _reproj_err_px(pose, uv_obs):
+        Xc = pose.transform(Xn)
+        z = jnp.maximum(Xc[..., 2:3], 1e-6)
+        uvn_hat = Xc[..., :2] / z
+        d = uvn_hat - K.normalize_points(uv_obs)
+        return jnp.linalg.norm(d, axis=-1) * K.fx
+
+    err_p = _reproj_err_px(prev_pose, uv_p)
+    err_c = _reproj_err_px(pnp.pose, uv_c)
+    new_ok = jnp.logical_and(
+        new_ok, jnp.logical_and(err_p < thr_px, err_c < thr_px)
+    )
+    # Only trusted poses may grow the map: a marginal (just ≥ pnp_min)
+    # registration still updates the trajectory, but letting it spawn
+    # landmarks poisons the frontier the next frames must localize against.
+    trusted = pnp.num_inliers >= config.keyframe_min_inliers
+    new_ok = jnp.logical_and(new_ok,
+                             jnp.logical_and(registered, trusted))
 
     lsp = _append_positions(L, state.num_lms, new_ok)  # rejects → L (dropped)
     lok = lsp < L
