@@ -35,10 +35,16 @@ produced because its long single scans kill this backend's worker):
     a rotating 16-slice descriptor/point pool (dynamic index = step mod 16)
     plus its own PRNG key, and every chunk folds its chunk id into the
     keys, so nothing is loop-invariant and LICM cannot hoist work.
-  * **Per-section error isolation.**  Every section runs under try/except;
-    one failure writes `errors[section]` and the JSON line still prints
-    (VERDICT r2: a crash in the headline section must not discard the
-    other sections' numbers).
+  * **Per-section SUBPROCESS isolation with hard timeouts.**  Each section
+    runs as `python bench.py --section NAME` under a wall-clock timeout;
+    one failure — including a HANG, which try/except cannot catch (observed
+    on this backend: a fetch that never returns, main thread parked on a
+    futex with zero CPU progress for 30+ min) — writes `errors[section]`
+    and the JSON line still prints (VERDICT r2: a crash in the headline
+    section must not discard the other sections' numbers).  Subprocesses
+    also mean a TPU-worker crash in one section cannot poison the device
+    client of the next.  Each subprocess pays the backend's first-contact
+    cost (~75-160 s measured) — timeouts budget for it.
   * **Roofline denominator.** The chip's sustained dense-GEMM rate is
     measured with the same chunked slope method on 4096³ bf16 matmul
     chains (chunks of 1024 matmuls ≈ 0.6 device-seconds each — far below
@@ -77,6 +83,25 @@ TARGET_GAP_S = 4.0  # device-seconds the long-short slope should span
 NOISE_FLOOR_S = 0.5 # below this gap the slope is fetch noise → error out
 K_MAX = 4096        # hard cap on chunks per timing (runaway guard)
 TIMING_REPS = 3
+
+# Wall-clock budget per section subprocess (includes ~75-160 s backend
+# first-contact + remote compiles, which on this tunneled backend can take
+# minutes with zero local CPU activity).
+SECTION_TIMEOUT_S = {
+    "head": 1800,
+    "matching_only": 1200,
+    "ba": 1200,
+    "all_pairs": 1200,
+    "sfm": 1500,
+    "scaling": 960,
+    "opencv": 300,
+}
+
+_T0 = time.time()
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _fetch_timed(dispatch_and_fetch, reps=TIMING_REPS):
@@ -148,6 +173,16 @@ def _measured_peak_tflops():
     global _MEASURED_PEAK
     if _MEASURED_PEAK is not None:
         return _MEASURED_PEAK
+    # cross-subprocess cache (head + matching_only both need the number;
+    # re-measuring costs ~1 min of chip time per section)
+    cache = "/tmp/pmt_bench_peak_tflops.json"
+    try:
+        if time.time() - os.path.getmtime(cache) < 6 * 3600:
+            with open(cache) as f:
+                _MEASURED_PEAK = float(json.load(f)["tflops"])
+            return _MEASURED_PEAK
+    except Exception:
+        pass
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -182,16 +217,23 @@ def _measured_peak_tflops():
             c = chunk(a, c)
         return float(jnp.sum(c[:1, :8].astype(jnp.float32)))
 
+    _log("matmul peak: compiling...")
     run_chunks(1)  # compile + first exec
     t_s, _ = _fetch_timed(lambda: run_chunks(1))
     t_l, _ = _fetch_timed(lambda: run_chunks(5))
     gap = t_l - t_s
+    _log(f"matmul peak: t_s={t_s:.2f}s t_l={t_l:.2f}s")
     if gap < NOISE_FLOOR_S:
         raise RuntimeError(
             f"matmul-peak slope gap {gap:.3f}s below noise floor"
         )
     per_mm = gap / (4 * MM_CHUNK)
     _MEASURED_PEAK = 2 * M**3 / per_mm / 1e12
+    try:
+        with open(cache, "w") as f:
+            json.dump({"tflops": _MEASURED_PEAK}, f)
+    except Exception:
+        pass
     return _MEASURED_PEAK
 
 
@@ -255,22 +297,28 @@ def _pool_scan_bench(per_step_mean, chunk_len=SAFE_CHUNK):
             acc = run_chunk(pd1, pd2, pp1, pp2, acc, jnp.int32(i))
         return float(acc) / (k * chunk_len)
 
+    _log("scan bench: compiling + first exec (1 chunk)...")
     run_chunks(1)  # compile + first exec
+    _log("scan bench: compile done, timing k_short")
 
     k_short = 1
     t_short, _ = _fetch_timed(lambda: run_chunks(k_short))
+    _log(f"scan bench: t_short={t_short:.2f}s, probing 4 chunks")
     # probe: estimate per-chunk time from a 4-chunk run, then pick k_long
     t_probe, _ = _fetch_timed(lambda: run_chunks(4), reps=1)
     per_chunk_est = max((t_probe - t_short) / 3.0, 1e-3)
     k_long = min(k_short + max(4, int(TARGET_GAP_S / per_chunk_est)), K_MAX)
+    _log(f"scan bench: per_chunk≈{per_chunk_est:.3f}s → k_long={k_long}")
     t_long, stat = _fetch_timed(lambda: run_chunks(k_long))
     gap = t_long - t_short
     if gap < TARGET_GAP_S / 2 and k_long < K_MAX:
         # slope resolution too small — escalate once with the better estimate
         per_chunk = max(gap / (k_long - k_short), 1e-4)
         k_long = min(k_short + int(TARGET_GAP_S / per_chunk), K_MAX)
+        _log(f"scan bench: gap {gap:.2f}s too small, escalating k_long={k_long}")
         t_long, stat = _fetch_timed(lambda: run_chunks(k_long))
         gap = t_long - t_short
+    _log(f"scan bench: t_long={t_long:.2f}s gap={gap:.2f}s")
     if gap < NOISE_FLOOR_S:
         raise RuntimeError(
             f"slope gap {gap:.3f}s (k={k_short}->{k_long}) is below the "
@@ -278,17 +326,25 @@ def _pool_scan_bench(per_step_mean, chunk_len=SAFE_CHUNK):
         )
     per_step = gap / ((k_long - k_short) * chunk_len)
 
-    # Cost analysis strictly AFTER the jit warmup/timing: on this backend,
-    # an AOT lower().compile() issued BEFORE the first jit execution leaves
-    # the jit cache holding an executable that runs ~10⁵× slower (measured
-    # 20.7 s vs 0.07 ms per identical call); issued after, it is a cache
-    # hit returning the same fast executable's counters.
-    fl = _cost_flops(
-        run_chunk.lower(
-            pd1, pd2, pp1, pp2, jnp.float32(0.0), jnp.int32(0)
+    _log("scan bench: cost analysis")
+    # Per-step FLOPs from an AOT compile of the step alone (scan-free):
+    # XLA's cost_analysis counts a While/scan body ONCE, not ×trip_count
+    # (measured here: the 64-step chunk reports ~1/64 of the true flops),
+    # so lowering run_chunk and dividing by chunk_len undercounts ~64×.
+    # The scan-free program has no loop to undercount.  (Iterative
+    # sub-algorithms XLA itself expands to while loops — e.g. eigh sweeps —
+    # are still counted once; the number is therefore a conservative floor
+    # wherever those appear.)  Compiled strictly AFTER the jit
+    # warmup/timing: on this backend, an AOT lower().compile() issued
+    # BEFORE the first jit execution leaves the jit cache holding an
+    # executable that runs ~10⁵× slower (measured 20.7 s vs 0.07 ms per
+    # identical call); this AOT executable is never run.
+    step_keys = jax.random.split(jax.random.PRNGKey(0), (BATCH,))
+    step_flops = _cost_flops(
+        jax.jit(per_step_mean).lower(
+            pd1[0], pd2[0], pp1[0], pp2[0], step_keys
         ).compile()
     )
-    step_flops = fl / chunk_len if fl else None
     return dict(
         steps_per_sec=1.0 / per_step,
         step_flops=step_flops,
@@ -420,11 +476,14 @@ def bench_ba(cameras=32, landmarks=2048):
             cost = stats.final_cost
         return float(cost)
 
+    _log("ba: compiling...")
     run_chunks(1)  # compile + first exec
+    _log("ba: compile done")
     t_s, _ = _fetch_timed(lambda: run_chunks(1))
     t_probe, _ = _fetch_timed(lambda: run_chunks(3), reps=1)
     per_chunk = max((t_probe - t_s) / 2.0, 1e-3)
     k_long = min(1 + max(3, int(TARGET_GAP_S / per_chunk)), 400)
+    _log(f"ba: t_s={t_s:.2f}s per_chunk≈{per_chunk:.3f}s k_long={k_long}")
     t_l, _ = _fetch_timed(lambda: run_chunks(k_long))
     gap = t_l - t_s
     if gap < NOISE_FLOOR_S:
@@ -486,11 +545,13 @@ def bench_all_pairs(n_img=1024, nkp=256, dim=64):
             acc = tile_block(desc, jnp.int32(q0), acc)
         return float(acc)
 
+    _log("all_pairs: compiling...")
     run_tiles(1)
     t_s, _ = _fetch_timed(lambda: run_tiles(1))
     t_probe, _ = _fetch_timed(lambda: run_tiles(4), reps=1)
     per_tile = max((t_probe - t_s) / 3.0, 1e-4)
     k_long = min(1 + max(4, int(TARGET_GAP_S / per_tile)), K_MAX)
+    _log(f"all_pairs: t_s={t_s:.2f}s per_tile≈{per_tile:.4f}s k_long={k_long}")
     t_l, _ = _fetch_timed(lambda: run_tiles(k_long))
     gap = t_l - t_s
     if gap < NOISE_FLOOR_S:
@@ -593,11 +654,14 @@ def bench_sfm_frames(num_frames=64, chunk_size=16):
             reg = sts.num_pnp_inliers
         return float(jnp.sum(reg))
 
+    _log("sfm: compiling...")
     run_chunks(1)
+    _log("sfm: compile done")
     t_s, _ = _fetch_timed(lambda: run_chunks(1))
     t_probe, _ = _fetch_timed(lambda: run_chunks(2), reps=1)
     per_chunk = max(t_probe - t_s, 1e-3)
     k_long = min(1 + max(2, int(TARGET_GAP_S / per_chunk)), 200)
+    _log(f"sfm: t_s={t_s:.2f}s per_chunk≈{per_chunk:.3f}s k_long={k_long}")
     t_l, _ = _fetch_timed(lambda: run_chunks(k_long))
     gap = t_l - t_s
     if gap < NOISE_FLOOR_S:
@@ -661,25 +725,65 @@ def bench_opencv(n_pairs=8):
     return n_pairs / dt
 
 
+_SECTIONS = {
+    "head": lambda: bench_tpu(),
+    "matching_only": lambda: bench_matching_only(),
+    "ba": lambda: bench_ba(),
+    "all_pairs": lambda: bench_all_pairs(),
+    "sfm": lambda: bench_sfm_frames(),
+    "scaling": lambda: bench_scaling(),
+    "opencv": lambda: bench_opencv(),
+}
+
+
+def run_one_section(name):
+    """Child-process entry: run one section, print its JSON as the LAST
+    stdout line (progress goes to stderr)."""
+    _log(f"section {name}: start")
+    out = _SECTIONS[name]()
+    _log(f"section {name}: done")
+    print(json.dumps({"section": name, "result": out}), flush=True)
+
+
 def main():
+    """Orchestrator: each section in its own subprocess under a hard
+    timeout (see module docstring — hangs and worker crashes must not
+    nullify the other sections)."""
     sections = {}
     errors = {}
+    me = os.path.abspath(__file__)
 
-    def run_section(name, fn):
+    for name in _SECTIONS:
+        budget = SECTION_TIMEOUT_S[name]
+        _log(f"=== section {name} (timeout {budget}s) ===")
         try:
-            sections[name] = fn()
+            proc = subprocess.run(
+                [sys.executable, me, "--section", name],
+                capture_output=True, text=True, timeout=budget,
+            )
+            for ln in proc.stderr.splitlines()[-12:]:
+                print(f"  | {ln}", file=sys.stderr, flush=True)
+            rec = None
+            for ln in proc.stdout.splitlines():
+                try:
+                    cand = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(cand, dict) and cand.get("section") == name:
+                    rec = cand
+            if rec is None:
+                tail = (proc.stderr or "")[-300:].replace("\n", " | ")
+                errors[name] = f"rc={proc.returncode}: {tail}"
+                sections[name] = None
+            else:
+                sections[name] = rec["result"]
+        except subprocess.TimeoutExpired:
+            errors[name] = f"hang: section exceeded {budget}s wall clock"
+            sections[name] = None
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             traceback.print_exc(file=sys.stderr)
             sections[name] = None
-
-    run_section("head", bench_tpu)
-    run_section("matching_only", bench_matching_only)
-    run_section("ba", bench_ba)
-    run_section("all_pairs", bench_all_pairs)
-    run_section("sfm", bench_sfm_frames)
-    run_section("scaling", bench_scaling)
-    run_section("opencv", bench_opencv)
 
     head = sections.get("head") or {}
     match_only = sections.get("matching_only") or {}
@@ -746,4 +850,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        run_one_section(sys.argv[2])
+    else:
+        main()

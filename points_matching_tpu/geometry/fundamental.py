@@ -19,6 +19,12 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from points_matching_tpu.geometry.eigen import (
+    project_rank2,
+    smallest_eigvec_psd,
+    smallest_eigvecs_psd,
+    svd3_rotational,
+)
 from points_matching_tpu.geometry.homogeneous import to_homogeneous
 from points_matching_tpu.geometry.normalize import hartley_normalize
 
@@ -41,18 +47,18 @@ def _constraint_rows(p1: Array, p2: Array) -> Array:
 def _smallest_eigvec_9(ATA: Array) -> Array:
     """Eigenvector of the smallest eigenvalue of a symmetric 9×9 (batched).
 
-    eigh of AᵀA instead of SVD of A: half the flops, TPU-friendly, and the
-    Hartley normalization upstream keeps the conditioning acceptable in f32
-    (SURVEY.md §7 'hard parts')."""
-    _, vecs = jnp.linalg.eigh(ATA)
-    return vecs[..., :, 0]  # eigh returns ascending eigenvalues
+    AᵀA instead of SVD of A: half the flops, TPU-friendly, and the Hartley
+    normalization upstream keeps the conditioning acceptable in f32
+    (SURVEY.md §7 'hard parts').  Solved by fixed-iteration Cholesky inverse
+    iteration (geometry/eigen.py) — static control flow; iterative
+    eigh/LAPACK loops both underperform and destabilize the TPU backend
+    here (see eigen.py module docstring)."""
+    return smallest_eigvec_psd(ATA)
 
 
 def _project_rank2(F: Array) -> Array:
     """Project to the rank-2 manifold (zero the smallest singular value)."""
-    U, S, Vt = jnp.linalg.svd(F, full_matrices=False)
-    S = S.at[..., 2].set(0.0)
-    return U @ (S[..., :, None] * Vt)
+    return project_rank2(F)
 
 
 def _sign_normalize(F: Array, eps: float = 1e-12) -> Array:
@@ -188,7 +194,11 @@ def seven_point(p1: Array, p2: Array) -> Tuple[Array, Array]:
 
     A = _constraint_rows(p1n, p2n)  # [..., 7, 9]
     ATA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(ATA)
+    # Any orthonormal basis of the 2-dim nullspace parametrizes the same
+    # pencil F1 + λF2, so the basis from fixed-iteration subspace inverse
+    # iteration (geometry/eigen.py — static control flow, no eigh) is as
+    # good as the eigenvalue-ordered pair.
+    vecs = smallest_eigvecs_psd(ATA, k=2, iters=6)
     f1 = vecs[..., :, 0]
     f2 = vecs[..., :, 1]
     F1 = f1.reshape(*f1.shape[:-1], 3, 3)
@@ -332,9 +342,12 @@ def compute_epilines(points: Array, which_image: int, F: Array) -> Array:
 
 
 def essential_from_fundamental(F: Array, K1: Array, K2: Array) -> Array:
-    """E = K2ᵀ F K1, projected to the essential manifold (σ = (1, 1, 0))."""
+    """E = K2ᵀ F K1, projected to the essential manifold (σ = (1, 1, 0)).
+
+    Uses the static-control-flow 3×3 SVD (geometry/eigen.py) — same
+    rationale as the 8-point solver."""
     E = jnp.swapaxes(K2, -1, -2) @ F @ K1
-    U, S, Vt = jnp.linalg.svd(E, full_matrices=False)
+    U, S, Vt = svd3_rotational(E)
     s = (S[..., 0] + S[..., 1]) / 2.0
     S_proj = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
     return U @ (S_proj[..., :, None] * Vt)

@@ -15,6 +15,10 @@ import jax.numpy as jnp
 from jax import Array
 
 from points_matching_tpu.core.types import Pose
+from points_matching_tpu.geometry.eigen import (
+    nearest_rotation_so3,
+    smallest_eigvec_psd,
+)
 from points_matching_tpu.geometry.se3 import se3_exp
 
 
@@ -26,16 +30,34 @@ def pnp_dlt(X: Array, uv_norm: Array, weights: Array | None = None) -> Pose:
       uv_norm: [..., N, 2] normalized camera coordinates (K⁻¹ applied).
       weights: [..., N] optional weights/mask.
 
-    Returns world→camera Pose (R orthonormalized via SVD, t scaled so that
-    the projection is consistent; cheirality-corrected sign).
+    Returns world→camera Pose (R orthonormalized via Horn's quaternion
+    method, t scaled so that the projection is consistent;
+    cheirality-corrected sign).
     """
     N = X.shape[-2]
     if weights is None:
         weights = jnp.ones(X.shape[:-1], X.dtype)
     w = weights[..., None]
 
+    # Hartley-style normalization of the 3-D points: center on the weighted
+    # centroid and scale to RMS √3.  Without it the DLT columns span the
+    # scene's coordinate magnitude (world points far from the origin make
+    # AᵀA's condition number grow with extent²) and the f32 nullspace solve
+    # degrades — measured as a PnP registration death-spiral once the SfM
+    # camera passed x ≈ 20 world units.  The pose is un-normalized below.
+    cen = jnp.sum(X * w, axis=-2) / jnp.maximum(
+        jnp.sum(w, axis=-2), 1e-12
+    )  # [..., 3]
+    Xc_ = X - cen[..., None, :]
+    rms = jnp.sqrt(
+        jnp.sum(jnp.sum(Xc_ * Xc_, axis=-1) * weights, axis=-1)
+        / jnp.maximum(jnp.sum(weights, axis=-1), 1e-12)
+    )
+    s = jnp.sqrt(3.0) / jnp.maximum(rms, 1e-9)  # [...]
+    X_n = Xc_ * s[..., None, None]
+
     ones = jnp.ones(X.shape[:-1] + (1,), X.dtype)
-    Xh = jnp.concatenate([X, ones], axis=-1)  # [..., N, 4]
+    Xh = jnp.concatenate([X_n, ones], axis=-1)  # [..., N, 4]
     z = jnp.zeros_like(Xh)
     u = uv_norm[..., 0:1]
     v = uv_norm[..., 1:2]
@@ -45,27 +67,30 @@ def pnp_dlt(X: Array, uv_norm: Array, weights: Array | None = None) -> Pose:
     A = jnp.concatenate([r1, r2], axis=-2)  # [..., 2N, 12]
 
     AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[..., :, 0]  # smallest eigenvector
+    # 12×12 smallest eigenvector via fixed-count Cholesky inverse iteration
+    # (geometry/eigen.py) — this runs per RANSAC hypothesis under vmap.
+    p = smallest_eigvec_psd(AtA, iters=6)
     P = p.reshape(p.shape[:-1] + (3, 4))
 
     M = P[..., :3]
-    # sign: points must be in front — use the mean cheirality
-    depth = jnp.einsum("...ij,...nj->...ni", M, X)[..., 2] + P[..., 2, 3][..., None]
+    # sign: points must be in front — use the mean cheirality (in the
+    # normalized frame; the positive scale s preserves depth signs)
+    depth = jnp.einsum("...ij,...nj->...ni", M, X_n)[..., 2] + P[..., 2, 3][..., None]
     sign = jnp.where(jnp.sum(jnp.sign(depth) * weights, axis=-1) < 0, -1.0, 1.0)
     P = P * sign[..., None, None]
     M = P[..., :3]
 
-    # nearest rotation (polar decomposition via SVD) + consistent scale
-    U, s, Vt = jnp.linalg.svd(M)
-    R = U @ Vt
-    detR = jnp.linalg.det(R)
-    Vt_fix = Vt * jnp.stack(
-        [jnp.ones_like(detR), jnp.ones_like(detR), detR], axis=-1
-    )[..., :, None]
-    R = U @ Vt_fix
-    scale = jnp.mean(s, axis=-1)
-    t = P[..., 3] / jnp.maximum(scale, 1e-12)[..., None]
+    # nearest PROPER rotation via Horn's quaternion method (static power
+    # iteration, det(R) = +1 by construction — geometry/eigen.py), replacing
+    # SVD polar decomposition + det fix.  The optimal R maximizes tr(RᵀM) =
+    # Σσᵢ, so tr(RᵀM)/3 equals mean(σ) — the same consistent scale the SVD
+    # route used.
+    R = nearest_rotation_so3(M)
+    scale = jnp.einsum("...ij,...ij->...", R, M) / 3.0
+    # Un-normalize: the solved projection maps X_n = s(X − c), so
+    # [M' | t'] ∝ [M/s | M c + t]  ⇒  t = (t'/σ)/s − R c  with σ = mean(σᵢ).
+    t_n = P[..., 3] / jnp.maximum(scale, 1e-12)[..., None]
+    t = t_n / s[..., None] - jnp.einsum("...ij,...j->...i", R, cen)
     return Pose(R=R, t=t)
 
 
@@ -131,7 +156,7 @@ def ransac_pnp(
       inlier_threshold: reprojection error in *normalized* units
                         (pixels / focal length).
       sample_logits: [N] optional log-weights biasing minimal-set sampling
-        toward trusted correspondences (Gumbel trick: +log w per row).  With
+        toward trusted correspondences (inverse-CDF sampling, P ∝ exp).  With
         a 6-point DLT sample, inlier fractions below ~50% starve uniform
         RANSAC — (0.45)⁶ ≈ 0.8% clean samples — so callers that KNOW some
         rows are higher-precision (e.g. tracked vs bank-matched in SfM
@@ -150,14 +175,13 @@ def ransac_pnp(
         rescues frames where minimal-set sampling starves, and a bad prior
         costs nothing.
     """
+    from points_matching_tpu.geometry.ransac import sample_index_sets
+
     mask = mask.astype(bool)
     n = X.shape[0]
 
-    g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
-    scores = g + jnp.where(mask, 0.0, -1e30)[None, :]
-    if sample_logits is not None:
-        scores = scores + sample_logits[None, :]
-    _, idx = jax.lax.top_k(scores, sample_size)
+    idx = sample_index_sets(key, mask, num_hypotheses, sample_size,
+                            logits=sample_logits)
     sX = jnp.take(X, idx, axis=0)          # [H, S, 3]
     suv = jnp.take(uv_norm, idx, axis=0)   # [H, S, 2]
 

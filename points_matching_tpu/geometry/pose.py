@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from points_matching_tpu.core.types import Pose
+from points_matching_tpu.geometry.eigen import svd3_rotational
 from points_matching_tpu.geometry.triangulate import triangulate_dlt
 
 
@@ -19,12 +20,10 @@ def decompose_essential(E: Array) -> Tuple[Array, Array, Array]:
     Returns (R [..., 2, 3, 3], t [..., 2, 3]) stacked as R ∈ {Ra, Rb} and
     t ∈ {+u3, -u3}; the four combinations are the candidate poses.
     """
-    U, _, Vt = jnp.linalg.svd(E, full_matrices=False)
-    # Enforce proper rotations: det(U), det(V) = +1
-    detU = jnp.linalg.det(U)
-    detV = jnp.linalg.det(Vt)
-    U = U * jnp.stack([jnp.ones_like(detU), jnp.ones_like(detU), detU], axis=-1)[..., None, :]
-    Vt = Vt * jnp.stack([jnp.ones_like(detV), jnp.ones_like(detV), detV], axis=-1)[..., :, None]
+    # Static-control-flow 3×3 SVD with det(U) = det(V) = +1 by construction
+    # (geometry/eigen.py) — the determinant fix LAPACK-based code needs is
+    # built into the factorization here.
+    U, _, Vt = svd3_rotational(E)
 
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     Ra = U @ W @ Vt

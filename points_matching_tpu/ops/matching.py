@@ -85,6 +85,28 @@ def distance_matrix(
     return jnp.where(invalid, _BIG, d)
 
 
+def _argmin_top2(d: Array) -> Tuple[Array, Array]:
+    """Exact top-2 smallest per row via two argmin passes.
+
+    On TPU, ``lax.top_k`` lowers to a full variadic sort of the row
+    (O(N log² N) bitonic network); two masked argmin reductions are two
+    O(N) VPU passes over the same data and measure ~?× faster at matching
+    sizes (see bench.py matching_only).  Ties resolve to the lowest index,
+    same as top_k over distinct values; for duplicated minima the pair
+    {best, second} is still correct (two distinct positions).
+    """
+    n = d.shape[-1]
+    i1 = jnp.argmin(d, axis=-1)
+    v1 = jnp.take_along_axis(d, i1[..., None], axis=-1)[..., 0]
+    masked = jnp.where(jnp.arange(n) == i1[..., None], _BIG, d)
+    i2 = jnp.argmin(masked, axis=-1)
+    v2 = jnp.take_along_axis(masked, i2[..., None], axis=-1)[..., 0]
+    return (
+        jnp.stack([v1, v2], axis=-1),
+        jnp.stack([i1, i2], axis=-1).astype(jnp.int32),
+    )
+
+
 def knn_match(
     d1: Descriptors, d2: Descriptors, k: int = 2, metric: str = "l2",
     compute_dtype: str = "f32",
@@ -95,6 +117,12 @@ def knn_match(
     'l2' metric (take sqrt for FLANN/DMatch parity).
     """
     d = distance_matrix(d1, d2, metric, compute_dtype)
+    if k == 1:
+        i1 = jnp.argmin(d, axis=-1)
+        v1 = jnp.take_along_axis(d, i1[..., None], axis=-1)
+        return v1, i1[..., None].astype(jnp.int32)
+    if k == 2:
+        return _argmin_top2(d)
     neg_topk, idx = jax.lax.top_k(-d, k)
     return -neg_topk, idx
 
@@ -111,13 +139,15 @@ def _use_pallas_path(d1: Descriptors, d2: Descriptors, config: MatcherConfig) ->
         return True
     if config.backend != "auto":
         return False
-    # Measured crossover on v5e: one fused XLA GEMM wins for small per-pair
-    # L2 problems (vmapped 512×512: 310k vs 234k pairs/s); the Pallas kernel
-    # wins once the [N1, N2] matrix is big enough that its HBM round-trip
-    # dominates (4096×4096: 1.67× faster). Gate L2 'auto' at ~4M cells.
-    # Hamming's XLA form materializes the [N1, N2, W] XOR tensor (8× the
-    # bytes), so its fused kernel pays off much earlier.
-    min_cells = 1024 * 1024 if config.metric == "hamming" else 2048 * 2048
+    # Measured with TRUE chunk-fetch sync on the bench chip (r3,
+    # benchmarks/probe/match_variants.py — the r2 crossover numbers were
+    # dispatch-bound artifacts): at 512×512×64 the fused kernel runs the
+    # FULL matcher at 4.1 µs/pair vs 17.3 µs for the XLA path (the XLA path
+    # pays ~3 extra full-matrix passes: the validity `where`, the argmin
+    # re-read, and the second-best masking).  The kernel self-pads to its
+    # tiles, so the gate is only there to keep tiny problems (where padding
+    # to the 256×512 tile wastes the work) on the one-GEMM path.
+    min_cells = 256 * 256
     if d1.capacity * d2.capacity < min_cells:
         return False
     try:
@@ -150,7 +180,8 @@ def match_descriptors(
         else:
             from points_matching_tpu.ops.pallas.matching_kernel import fused_l2_top2
 
-            dist, idx = fused_l2_top2(dq.data, dt.data, dt.mask)
+            dist, idx = fused_l2_top2(dq.data, dt.data, dt.mask,
+                                      compute_dtype=config.compute_dtype)
         # query-side masking (the kernels only mask train rows)
         return jnp.where(dq.mask[..., None], dist, _BIG), idx
 
@@ -208,14 +239,22 @@ def match_descriptors(
     query_idx = jnp.arange(d1.capacity, dtype=jnp.int32)
     cap = config.max_matches or d1.capacity
     # Compact surviving matches to the front (stable) so downstream
-    # fixed-capacity consumers see a dense prefix.
-    order = jnp.argsort(jnp.where(keep, query_idx, d1.capacity + query_idx))
-    take = order[:cap]
+    # fixed-capacity consumers see a dense prefix.  One cumsum + one
+    # scatter — O(N) — instead of the O(N log² N) bitonic argsort TPU
+    # lowers a sort to; discarded entries all land in an overflow slot
+    # that the final slice drops.
+    slot = jnp.where(keep, jnp.cumsum(keep) - 1, d1.capacity)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+
+    def compact(vals, fill):
+        buf = jnp.full((d1.capacity + 1,), fill, dtype=vals.dtype)
+        return buf.at[slot].set(vals, mode="drop")[:cap]
+
     return Matches(
-        query_idx=jnp.take(query_idx, take),
-        train_idx=jnp.take(best_idx, take).astype(jnp.int32),
-        distance=jnp.take(best_reported, take),
-        mask=jnp.take(keep, take),
+        query_idx=compact(query_idx, jnp.int32(0)),
+        train_idx=compact(best_idx.astype(jnp.int32), jnp.int32(0)),
+        distance=compact(best_reported, jnp.float32(0.0)),
+        mask=jnp.arange(cap) < n_keep,
     )
 
 

@@ -28,7 +28,7 @@ _BIG = 1e30
 
 
 def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
-                 best1, best2, idx1, idx2):
+                 best1, best2, idx1, idx2, *, gemm_dtype):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -36,9 +36,11 @@ def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
     t = t_ref[:]                      # [TT, D]
     # ‖q−t‖² = ‖q‖² + ‖t‖² − 2⟨q,t⟩; ‖q‖² is constant per row and does not
     # change the top-2 order, so it is added once at flush time — the tile
-    # only needs ‖t‖² and the GEMM.
+    # only needs ‖t‖² and the GEMM.  gemm_dtype='bf16' feeds the MXU its
+    # native operand width (f32 accumulation via preferred_element_type),
+    # matching the XLA path's compute_dtype semantics.
     d = t2_ref[:] - 2.0 * jax.lax.dot_general(
-        q, t,
+        q.astype(gemm_dtype), t.astype(gemm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                  # [TQ, TT]
@@ -102,7 +104,8 @@ def _pad_to(x: Array, n: int, axis: int, value=0.0) -> Array:
     return jnp.pad(x, cfg, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_q", "tile_t", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "tile_q", "tile_t", "interpret", "compute_dtype"))
 def fused_l2_top2(
     q: Array,
     t: Array,
@@ -110,6 +113,7 @@ def fused_l2_top2(
     tile_q: int = 256,
     tile_t: int = 512,
     interpret: bool = False,
+    compute_dtype: str = "f32",
 ) -> Tuple[Array, Array]:
     """Squared-L2 (best, second-best) distances and best index per query row.
 
@@ -138,8 +142,9 @@ def fused_l2_top2(
     t2 = jnp.where(valid > 0, t2, _BIG)[None, :]  # [1, N2p]
 
     grid = (n1p // tile_q, n2p // tile_t)
+    gemm_dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
     dist, idx = pl.pallas_call(
-        _top2_kernel,
+        functools.partial(_top2_kernel, gemm_dtype=gemm_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, d), lambda i, j: (i, 0),
