@@ -3,9 +3,13 @@
 chunked fetch-synced slope timing per slice (bench.py methodology).
 
 Slices (cumulative):
-  match     - match_descriptors only
-  sample    - + sample_index_sets + gathers
-  solve     - + vmapped eight_point over hypotheses
+  match     - match_descriptors only (NOTE: the compaction scatter inside
+              match_descriptors is dead code in this slice — only the mask
+              is consumed — so 'match' under-reports the production
+              matcher; 'gather' is the first slice that pays it)
+  gather    - + matched-point gathers (makes query/train_idx live)
+  sample    - + sample_index_sets + minimal-set gathers
+  solve     - + batched 8-point over hypotheses (production backend gate)
   score     - + Sampson scoring + argmax
   refit     - + 2 refit rounds (= production ransac_fundamental)
 
@@ -27,7 +31,8 @@ TARGET_GAP_S = 3.0
 
 
 def main():
-    slices = sys.argv[1:] or ["match", "sample", "solve", "score", "refit"]
+    slices = sys.argv[1:] or [
+        "match", "gather", "sample", "solve", "score", "refit"]
 
     import jax
     import jax.numpy as jnp
@@ -37,8 +42,20 @@ def main():
     from points_matching_tpu.geometry.fundamental import (
         eight_point, sampson_distance)
     from points_matching_tpu.geometry.ransac import (
-        ransac_fundamental, sample_index_sets)
+        _use_pallas_solve, ransac_fundamental, sample_index_sets)
     from points_matching_tpu.ops.matching import match_descriptors
+    from points_matching_tpu.ops.pallas.eightpoint_kernel import (
+        minimal_eight_point)
+
+    # the solve slice times whatever the production config would run
+    # (PMT_PROBE_SOLVER=xla|pallas overrides)
+    solver_kind = os.environ.get("PMT_PROBE_SOLVER", "")
+    if not solver_kind:
+        solver_kind = (
+            "pallas" if _use_pallas_solve(RansacConfig(), 8) else "xla"
+        )
+    solve_fn = minimal_eight_point if solver_kind == "pallas" else eight_point
+    print(f"# solve slice uses {solver_kind}", file=sys.stderr, flush=True)
 
     rng = np.random.RandomState(0)
     d1 = rng.randn(POOL * BATCH, NKP, DIM).astype(np.float32)
@@ -67,12 +84,14 @@ def main():
                 return jnp.sum(m.mask.astype(jnp.float32))
             q1 = jnp.take(pa, jnp.clip(m.query_idx, 0, NKP - 1), axis=0)
             q2 = jnp.take(pb, jnp.clip(m.train_idx, 0, NKP - 1), axis=0)
+            if stage == "gather":
+                return jnp.sum(q1) * 1e-6 + jnp.sum(q2) * 1e-6
             idx = sample_index_sets(k, m.mask, HYP, 8)
             sp1 = jnp.take(q1, idx, axis=0)
             sp2 = jnp.take(q2, idx, axis=0)
             if stage == "sample":
                 return jnp.sum(sp1) * 1e-6
-            F_h = eight_point(sp1, sp2)
+            F_h = solve_fn(sp1, sp2)
             if stage == "solve":
                 return jnp.sum(F_h) * 1e-3
             d = sampson_distance(F_h, q1[None], q2[None])

@@ -157,3 +157,83 @@ def make_ba_problem(
         uv=uv.astype(jnp.float32),
         mask=mask,
     )
+
+
+def make_sparse_ba_problem(
+    seed: int = 0,
+    num_cameras: int = 64,
+    num_landmarks: int = 16384,
+    obs_per_landmark: int = 8,
+    noise: float = 0.5,
+    image_size: Tuple[int, int] = (640, 480),
+):
+    """Synthetic BASELINE-scale sparse BA problem in observation-list form.
+
+    Unlike ``make_ba_problem`` (every camera sees every landmark — a dense
+    [C, L] grid), this builds the sparsity realistic SfM produces: each
+    landmark is observed by a contiguous window of ``obs_per_landmark``
+    cameras along the trajectory (track locality), so O = L·obs ≪ C·L and
+    the observation-sharded solver (``ba/sparse.py``) is the only layout
+    that fits.  Host-side numpy (it exists to PARAMETERIZE benchmarks and
+    tests, not to run under jit).
+
+    Returns dict with K [3,3], poses (Pose [C]), X [L,3],
+    cam_idx/lm_idx/uv/obs_mask flat [O] arrays (all observations valid;
+    out-of-frustum rows are masked).
+    """
+    w, h = image_size
+    fx = fy = 0.8 * w
+    cx, cy = w / 2.0, h / 2.0
+    K = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
+
+    rng = np.random.RandomState(seed)
+    # landmarks spread along the trajectory corridor
+    span = num_cameras * 0.25
+    X = np.stack([
+        rng.uniform(-span / 2 - 2, span / 2 + 2, num_landmarks),
+        rng.uniform(-2.0, 2.0, num_landmarks),
+        rng.uniform(6.0, 10.0, num_landmarks),
+    ], axis=-1).astype(np.float32)
+
+    angles = np.linspace(-0.3, 0.3, num_cameras)
+    wvecs = np.stack([np.zeros_like(angles), angles, np.zeros_like(angles)],
+                     axis=-1)
+    Rs = np.asarray(so3_exp(jnp.asarray(wvecs, jnp.float32)))
+    ts = np.stack([
+        np.linspace(-span / 2, span / 2, num_cameras),
+        np.zeros_like(angles), np.zeros_like(angles),
+    ], axis=-1).astype(np.float32)
+    # world→camera translation t = -R C with C the camera center: place
+    # centers along the corridor so each sees the landmarks near it
+    ts = -np.einsum("cij,cj->ci", Rs, ts)
+    poses = Pose(R=jnp.asarray(Rs, jnp.float32), t=jnp.asarray(ts))
+
+    # each landmark tracked by a window of cameras nearest its x position
+    base = np.clip(
+        np.round(
+            (X[:, 0] + span / 2) / max(span, 1e-6) * (num_cameras - 1)
+        ).astype(np.int64) - obs_per_landmark // 2,
+        0, num_cameras - obs_per_landmark,
+    )
+    lm_idx = np.repeat(np.arange(num_landmarks), obs_per_landmark)
+    cam_idx = (base[:, None] + np.arange(obs_per_landmark)[None, :]).reshape(-1)
+
+    Xc = np.einsum("oij,oj->oi", Rs[cam_idx], X[lm_idx]) + ts[cam_idx]
+    z = Xc[:, 2:3]
+    uv = Xc[:, :2] / np.maximum(z, 1e-6) * np.asarray([fx, fy]) \
+        + np.asarray([cx, cy])
+    uv = (uv + noise * rng.randn(*uv.shape)).astype(np.float32)
+    obs_mask = (
+        (z[:, 0] > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    )
+
+    return dict(
+        K=K,
+        poses=poses,
+        X=jnp.asarray(X),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        lm_idx=jnp.asarray(lm_idx, jnp.int32),
+        uv=jnp.asarray(uv),
+        obs_mask=jnp.asarray(obs_mask),
+    )

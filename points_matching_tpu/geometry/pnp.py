@@ -156,7 +156,8 @@ def ransac_pnp(
       inlier_threshold: reprojection error in *normalized* units
                         (pixels / focal length).
       sample_logits: [N] optional log-weights biasing minimal-set sampling
-        toward trusted correspondences (inverse-CDF sampling, P ∝ exp).  With
+        toward trusted correspondences (Gumbel-top-k, P ∝ exp(logits),
+        without replacement within a set — see sample_index_sets).  With
         a 6-point DLT sample, inlier fractions below ~50% starve uniform
         RANSAC — (0.45)⁶ ≈ 0.8% clean samples — so callers that KNOW some
         rows are higher-precision (e.g. tracked vs bank-matched in SfM

@@ -50,6 +50,27 @@ def _use_pallas_scoring(config: RansacConfig, num_points: int) -> bool:
     return platform in ("tpu", "axon")
 
 
+def _use_pallas_solve(config: RansacConfig, sample_size: int) -> bool:
+    """Route the batched minimal 8-point solve to the fused Pallas kernel.
+
+    The kernel (ops/pallas/eightpoint_kernel.py) is specialized to 8-point
+    samples; 'auto' enables it on TPU where the XLA elementwise chain was
+    measured at 286 µs/pair (70% of the flagship step, r4
+    benchmarks/probe/ransac_slices.py).
+    """
+    if sample_size != 8:
+        return False
+    if config.backend == "pallas":
+        return True
+    if config.backend != "auto":
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return platform in ("tpu", "axon")
+
+
 def sample_index_sets(
     key: Array,
     mask: Array,
@@ -58,31 +79,72 @@ def sample_index_sets(
     logits: Optional[Array] = None,
 ) -> Array:
     """Sample [H, S] index sets WITHOUT replacement within a set, with
-    P ∝ exp(logits) over valid entries (Gumbel-top-k semantics).
+    P ∝ exp(logits) over valid entries.
 
-    Implemented as ``sample_size`` masked-argmax passes over the [H, N]
-    Gumbel scores instead of ``lax.top_k`` — top_k lowers to a full bitonic
-    sort on TPU, while S argmax reductions are S single VPU passes (S ≪
-    log²N work, and at S = 8, H = N = 512 measurably cheaper).
-    Without-replacement matters: an inverse-CDF/with-replacement sampler is
-    cheaper still, but under sharp ``logits`` (the SfM registration path
-    weights tracked points heavily) it repeats the top rows within a
-    minimal set, collapsing the 6-point DLT to fewer constraints — measured
-    as a 50× ATE regression on the 100-frame sequence before this was
-    reverted to exact top-k semantics.
+    Implementation: STRATIFIED Gumbel sampling over one shared random
+    partition.  A fresh random permutation splits the N slots into S
+    equal buckets; every hypothesis draws its k-th element as the Gumbel
+    argmax (P ∝ exp(logits) — the Gumbel-max trick) within bucket k.
+    Buckets are disjoint, so a minimal set can never contain duplicates —
+    the property that matters: a with-replacement inverse-CDF sampler was
+    measured as a 50× ATE regression on the 100-frame SfM sequence,
+    because under sharp ``logits`` it repeats top rows within a set and
+    collapses the 6-point DLT to fewer constraints.
+
+    Why stratified and not exact top-k: the previous S-masked-argmax
+    implementation generated an [H, N] Gumbel matrix (threefry bits are
+    ~tens of integer ops per element) and made S full read+modify passes
+    over it — measured 86 of 408 µs/pair of the flagship two-view step,
+    and re-measured UNCHANGED (92 µs) with the passes reduced to one,
+    pinning the cost on the [H·N] random-bit generation itself (r4
+    ``benchmarks/probe/ransac_slices.py``).  Stratified inverse-CDF
+    sampling needs only [H, S] uniforms — S·(N/S)·≈64× fewer random bits
+    — and its one O(H·N) op is a fused broadcast-compare-reduce against
+    a shared [S, N/S] prefix table.  Distribution per (hypothesis,
+    bucket): P(pick i) = wᵢ / Σ_bucket w exactly, the same within-bucket
+    law as Gumbel argmax; the partition is a fresh uniform permutation
+    per call, so by exchangeability every S-subset has equal marginal
+    probability under uniform logits.  Hypotheses within one call share
+    the partition (pairs co-bucketed this call never co-occur — RANSAC
+    diversity comes from the within-bucket draws; re-drawn next call).
+
+    Degenerate-mask behavior (ADVICE r3): an all-invalid bucket has zero
+    total weight, so its draw clips to the bucket's last slot — a
+    duplicate-free but possibly invalid pick whose hypothesis scores ~0
+    inliers and loses the consensus argmax; callers that can starve
+    (SfM registration) additionally gate on a minimum inlier count.
     """
     n = mask.shape[-1]
-    g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
-    g = g + jnp.where(mask, 0.0, -jnp.inf)[None, :]
-    if logits is not None:
-        g = g + logits[None, :]
-    cols = jnp.arange(n)
-    picks = []
-    for _ in range(sample_size):
-        i = jnp.argmax(g, axis=-1)
-        picks.append(i)
-        g = jnp.where(cols[None, :] == i[:, None], -jnp.inf, g)
-    return jnp.stack(picks, axis=-1).astype(jnp.int32)
+    S = sample_size
+    bucket = -(-n // S)                # slots per bucket (ceil)
+    m = bucket * S
+
+    k_perm, k_u = jax.random.split(key)
+    perm = jax.random.permutation(k_perm, m).astype(jnp.int32)  # [m]
+    # slots ≥ n are virtual padding → invalid
+    slot_idx = jnp.minimum(perm, n - 1)
+    slot_valid = jnp.logical_and(perm < n, mask[slot_idx])
+
+    if logits is None:
+        w = slot_valid.astype(jnp.float32)
+    else:
+        lg = jnp.where(mask, logits, -jnp.inf)[slot_idx]
+        # shift so exp() cannot overflow; invalid slots → weight 0
+        lmax = jnp.max(jnp.where(slot_valid, lg, -jnp.inf))
+        lmax = jnp.where(jnp.isfinite(lmax), lmax, 0.0)
+        w = jnp.where(
+            slot_valid, jnp.exp(jnp.clip(lg - lmax, -60.0, 0.0)), 0.0
+        )
+
+    cdf = jnp.cumsum(w.reshape(S, bucket), axis=-1)       # [S, bucket]
+    total = cdf[:, -1]                                    # [S]
+    u = jax.random.uniform(k_u, (num_hypotheses, S)) * total[None, :]
+    # smallest j with cdf[j] > u  ==  #{j : cdf[j] <= u}; empty bucket
+    # (total = 0, cdf ≡ 0, u = 0) counts `bucket` and clips to the last slot
+    j = jnp.sum((cdf[None] <= u[..., None]).astype(jnp.int32), axis=-1)
+    j = jnp.minimum(j, bucket - 1)                        # [H, S]
+    picks = slot_idx[jnp.arange(S)[None, :] * bucket + j]
+    return picks.astype(jnp.int32)
 
 
 # Backwards-compatible alias (the uniform-over-mask case).
@@ -128,6 +190,13 @@ def ransac_fundamental(
         F_cand, root_valid = seven_point(sp1, sp2)      # [H, 3, 3, 3], [H, 3]
         F_h = F_cand.reshape(-1, 3, 3)                  # [3H, 3, 3]
         hyp_valid = root_valid.reshape(-1)              # [3H]
+    elif _use_pallas_solve(config, sample_size):
+        from points_matching_tpu.ops.pallas.eightpoint_kernel import (
+            minimal_eight_point,
+        )
+
+        F_h = minimal_eight_point(sp1, sp2)  # [H, 3, 3]
+        hyp_valid = jnp.ones((F_h.shape[0],), bool)
     else:
         F_h = eight_point(sp1, sp2)  # [H, 3, 3]
         hyp_valid = jnp.ones((F_h.shape[0],), bool)

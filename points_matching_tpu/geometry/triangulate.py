@@ -33,7 +33,13 @@ def triangulate_dlt(
     def center(P):
         # C = −M⁻¹ t; M is a general 3×3 (callers pass both K[R|t] and
         # plain [R|t]), so a direct solve — NOT Mᵀ, which assumes a rotation.
-        return -jnp.linalg.solve(P[..., :3], P[..., 3:4])[..., 0]
+        # A degenerate M (failed hypothesis camera) would make the solve
+        # inf/NaN and poison EVERY point's depth_ok for that batch element,
+        # so fall back to Cm = 0 (no gauge shift — finite per-point garbage
+        # that downstream scoring can discard) when M is near-singular.
+        C = -jnp.linalg.solve(P[..., :3], P[..., 3:4])[..., 0]
+        ok = jnp.all(jnp.isfinite(C), axis=-1, keepdims=True)
+        return jnp.where(ok, C, 0.0)
 
     Cm = 0.5 * (center(P1) + center(P2))  # [..., 3]
 

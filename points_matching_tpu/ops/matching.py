@@ -90,8 +90,9 @@ def _argmin_top2(d: Array) -> Tuple[Array, Array]:
 
     On TPU, ``lax.top_k`` lowers to a full variadic sort of the row
     (O(N log² N) bitonic network); two masked argmin reductions are two
-    O(N) VPU passes over the same data and measure ~?× faster at matching
-    sizes (see bench.py matching_only).  Ties resolve to the lowest index,
+    O(N) VPU passes over the same data — strictly less work and measurably
+    faster at matching sizes (benchmarks/probe/match_variants.py compares
+    the variants end-to-end).  Ties resolve to the lowest index,
     same as top_k over distinct values; for duplicated minima the pair
     {best, second} is still correct (two distinct positions).
     """
@@ -237,7 +238,10 @@ def match_descriptors(
         keep = jnp.logical_and(keep, reverse_best == qi)
 
     query_idx = jnp.arange(d1.capacity, dtype=jnp.int32)
-    cap = config.max_matches or d1.capacity
+    # Clamp to the query capacity: a max_matches beyond it would slice into
+    # the overflow slot (whose discarded arbitrary entry must never surface)
+    # and desync the buffer/mask lengths (ADVICE r3).
+    cap = min(config.max_matches or d1.capacity, d1.capacity)
     # Compact surviving matches to the front (stable) so downstream
     # fixed-capacity consumers see a dense prefix.  One cumsum + one
     # scatter — O(N) — instead of the O(N log² N) bitonic argsort TPU

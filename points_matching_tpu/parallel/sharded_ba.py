@@ -16,7 +16,7 @@ bottleneck; the landmark elimination — the O(C²·L) FLOPs — is what shards.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -119,7 +119,19 @@ def distributed_bundle_adjust_sparse(
     """
     n = mesh.shape[axis]
     state = pad_sparse_state_for_mesh(state, n)
+    return _sharded_sparse_ba_fn(mesh, config, axis)(state, K)
 
+
+@lru_cache(maxsize=32)
+def _sharded_sparse_ba_fn(mesh: Mesh, config: BAConfig, axis: str):
+    """Memoized jitted shard_map program for the sparse distributed BA.
+
+    Without the cache, every ``distributed_bundle_adjust_sparse`` call
+    built a fresh lambda → fresh ``jax.jit`` → FULL RECOMPILE per call
+    (measured: the r3 scaling harness timed ~2.7 s/call of which nearly
+    all was compilation — the reported 'anti-scaling' was recompile cost,
+    not the sharded program).  Mesh/BAConfig are hashable, so the compiled
+    executable is reused across calls of matching shapes."""
     obs = P(axis)
     rep = P()
     in_state_specs = SparseBAState(
@@ -135,7 +147,7 @@ def distributed_bundle_adjust_sparse(
     stats_specs = SparseLMStats(
         iterations=rep, initial_cost=rep, final_cost=rep, lam=rep
     )
-    K_specs = jax.tree.map(lambda _: rep, K)
+    K_specs = CameraIntrinsics(fx=rep, fy=rep, cx=rep, cy=rep)
 
     fn = partial(
         jax.shard_map,
@@ -144,4 +156,4 @@ def distributed_bundle_adjust_sparse(
         out_specs=(out_state_specs, stats_specs),
         check_vma=False,  # replicated outputs are psum-derived on every shard
     )(lambda st, k: _bundle_adjust_sparse_impl(st, k, config, axis_name=axis))
-    return jax.jit(fn)(state, K)
+    return jax.jit(fn)

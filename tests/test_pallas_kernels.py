@@ -237,10 +237,17 @@ def test_ransac_fundamental_pallas_backend_agrees():
             key, jnp.asarray(p1), jnp.asarray(p2), mask,
             RansacConfig(num_hypotheses=128, backend="pallas"),
         )
-    # same PRNG → same hypotheses → same counts → same model
-    np.testing.assert_array_equal(np.asarray(ref.inlier_mask),
-                                  np.asarray(out.inlier_mask))
+    # backend='pallas' routes BOTH the minimal solve and the scoring through
+    # the fused kernels; per-hypothesis F's agree with the XLA chain only to
+    # the inverse-iteration noise floor (see eightpoint_kernel docstring), so
+    # the two paths are equivalent-quality, not bit-equal: both must recover
+    # the true consensus and agree on (nearly) the same inlier set.
+    rm = np.asarray(ref.inlier_mask)
+    om = np.asarray(out.inlier_mask)
+    overlap = (rm & om).sum() / max(1, (rm | om).sum())
+    assert overlap >= 0.9, f"inlier-set IoU {overlap:.2f}"
     assert int(out.num_inliers) >= int(0.6 * N)  # found the true consensus
+    assert int(ref.num_inliers) >= int(0.6 * N)
 
 
 def test_match_descriptors_pallas_cross_check_agrees():
@@ -268,6 +275,40 @@ def test_match_descriptors_pallas_cross_check_agrees():
     m = np.asarray(ref.mask)
     np.testing.assert_array_equal(np.asarray(ref.train_idx)[m],
                                   np.asarray(out.train_idx)[m])
+
+
+def test_minimal_eight_point_matches_reference_noise_free():
+    """Fused 8-point kernel vs geometry.eight_point on NOISE-FREE minimal
+    samples: λ_min(AᵀA) = 0 exactly, both fixed-iteration chains converge
+    hard, entries must agree to f32 tolerance.  (On noisy samples both
+    paths sit at the same algorithmic noise floor and only quality-level
+    agreement holds — covered by the RANSAC end-to-end test above.)"""
+    from points_matching_tpu.data.synthetic import make_two_view_scene
+    from points_matching_tpu.geometry.fundamental import eight_point
+    from points_matching_tpu.ops.pallas.eightpoint_kernel import (
+        minimal_eight_point,
+    )
+
+    scene = make_two_view_scene(jax.random.PRNGKey(3), num_points=64,
+                                noise=0.0)
+    rng = np.random.RandomState(0)
+    H = 32
+    idx = np.stack([rng.choice(64, 8, replace=False) for _ in range(H)])
+    sp1 = jnp.asarray(np.asarray(scene.p1)[idx])
+    sp2 = jnp.asarray(np.asarray(scene.p2)[idx])
+
+    F_ref = eight_point(sp1, sp2)
+    F_pal = minimal_eight_point(sp1, sp2, interpret=True)
+    err = np.max(np.abs(np.asarray(F_ref) - np.asarray(F_pal)), axis=(1, 2))
+    # unit-Frobenius matrices; a handful of ill-conditioned samples (near-
+    # collinear draws) may sit higher — median must be at rounding level
+    assert np.median(err) < 2e-4, np.median(err)
+    assert np.mean(err < 1e-2) >= 0.9, err
+
+    # degenerate sample (all points identical): finite garbage, no NaN
+    spd = jnp.ones((1, 8, 2), jnp.float32) * 5.0
+    Fd = minimal_eight_point(spd, spd, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(Fd)))
 
 
 def test_fused_l2_top2_all_train_masked_out_but_some():

@@ -92,3 +92,38 @@ def test_ransac_jit_and_deterministic():
     b = f(jax.random.PRNGKey(7))
     assert jnp.allclose(a.F, b.F)
     assert int(a.num_inliers) == int(b.num_inliers)
+
+
+def test_sample_index_sets_properties():
+    """Stratified inverse-CDF sampler: no duplicates within a set, only
+    valid indices, ~uniform marginal inclusion, and logits bias the draw
+    (the contract geometry/pnp.py and ransac_fundamental rely on)."""
+    from points_matching_tpu.geometry.ransac import sample_index_sets
+
+    mask = jnp.arange(100) < 80
+    idx = np.asarray(sample_index_sets(jax.random.PRNGKey(0), mask, 512, 8))
+    assert idx.shape == (512, 8)
+    assert all(len(set(r)) == 8 for r in idx), "duplicate index in a set"
+    assert (idx < 80).all(), "invalid index sampled"
+
+    counts = np.bincount(idx.ravel(), minlength=100)
+    expect = 512 * 8 / 80
+    # every valid index reachable, none wildly over-sampled
+    assert counts[:80].min() > 0
+    assert counts[:80].max() < 3 * expect
+
+    # weighted: the 10 heavy rows (logit +3 ≈ e³ ≈ 20× weight) must be
+    # drawn far above their uniform share
+    logits = jnp.where(jnp.arange(100) < 10, 3.0, 0.0)
+    idx2 = np.asarray(
+        sample_index_sets(jax.random.PRNGKey(1), mask, 512, 8, logits=logits)
+    )
+    assert all(len(set(r)) == 8 for r in idx2)
+    frac_heavy = (idx2 < 10).mean()
+    assert frac_heavy > 2.5 * (10 / 80), frac_heavy
+
+    # starving mask (fewer valid than sample_size): still shaped, still
+    # in-range picks; callers gate on inlier counts downstream
+    mask2 = jnp.arange(100) < 3
+    idx3 = np.asarray(sample_index_sets(jax.random.PRNGKey(2), mask2, 16, 8))
+    assert ((0 <= idx3) & (idx3 < 100)).all()
