@@ -10,6 +10,12 @@ method (bench.py methodology — block_until_ready is a no-op here):
   argmin2     - GEMM + double-argmin top-2       (new path: two VPU passes)
   full        - match_descriptors (ratio filter + cumsum-scatter compaction)
   pallas      - fused Pallas distance+top-2 kernel (backend='pallas')
+  pallas_raw  - fused_l2_top2 alone (no ratio filter / compaction) —
+                isolates the kernel from the matcher's epilogue
+  pallas_gemm - Pallas kernel with the SAME tiling/streaming but only the
+                GEMM + a row min (no top-2 bookkeeping) — the GEMM/top-2
+                split VERDICT r3 item 2 asks for
+  sweep       - tile_q x tile_t sweep of fused_l2_top2
 
 Usage: python match_variants.py [variant ...]   (default: all)
 Prints one JSON line per variant: {variant, pairs_per_sec, us_per_pair, gap_s}.
@@ -79,13 +85,89 @@ def main():
 
         return step
 
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from points_matching_tpu.ops.pallas.matching_kernel import fused_l2_top2
+
+    def _gemm_only_kernel(q_ref, t_ref, o_ref, acc):
+        j = pl.program_id(1)
+        d = jax.lax.dot_general(
+            q_ref[:].astype(jnp.bfloat16), t_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.min(d, axis=1, keepdims=True)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = m
+
+        @pl.when(j > 0)
+        def _():
+            acc[:] = jnp.minimum(acc[:], m)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            o_ref[:] = acc[:]
+
+    @functools.partial(jax.jit, static_argnames=("tq", "tt"))
+    def gemm_only(q, t, tq=256, tt=512):
+        n1, dd = q.shape
+        n2 = t.shape[0]
+        return pl.pallas_call(
+            _gemm_only_kernel,
+            grid=(n1 // tq, n2 // tt),
+            in_specs=[
+                pl.BlockSpec((tq, dd), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tt, dd), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tq, 1), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n1, 1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tq, 1), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n1 * n2 * dd,
+                bytes_accessed=4 * (n1 * dd + (n1 // tq) * n2 * dd + n1),
+                transcendentals=0,
+            ),
+        )(q, t)
+
+    def step_pallas_gemm(a, b):
+        return jnp.sum(gemm_only(a, b))
+
+    def step_pallas_raw(a, b):
+        dist, idx = fused_l2_top2(a, b, mask, compute_dtype="bf16")
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 1] % 7).astype(jnp.float32)
+
+    def make_step_tiles(tq, tt):
+        def step(a, b):
+            dist, idx = fused_l2_top2(a, b, mask, tile_q=tq, tile_t=tt,
+                                      compute_dtype="bf16")
+            return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 1] % 7).astype(
+                jnp.float32)
+        return step
+
     steps = {
         "gemm": lambda a, b: jax.vmap(step_gemm)(a, b).sum(),
         "topk": lambda a, b: jax.vmap(step_topk)(a, b).sum(),
         "argmin2": lambda a, b: jax.vmap(step_argmin2)(a, b).sum(),
         "full": make_step_match("xla"),
         "pallas": make_step_match("pallas"),
+        "pallas_raw": lambda a, b: jax.vmap(step_pallas_raw)(a, b).sum(),
+        "pallas_gemm": lambda a, b: jax.vmap(step_pallas_gemm)(a, b).sum(),
     }
+    for tq in (128, 256, 512):
+        for tt in (256, 512):
+            steps[f"tiles_{tq}x{tt}"] = (
+                lambda a, b, s=make_step_tiles(tq, tt): jax.vmap(s)(a, b).sum()
+            )
+    if "sweep" in variants:
+        variants = [v for v in variants if v != "sweep"] + [
+            k for k in steps if k.startswith("tiles_")]
 
     for name in variants:
         per_step = steps[name]

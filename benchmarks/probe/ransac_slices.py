@@ -42,7 +42,7 @@ def main():
     from points_matching_tpu.geometry.fundamental import (
         eight_point, sampson_distance)
     from points_matching_tpu.geometry.ransac import (
-        _use_pallas_solve, ransac_fundamental, sample_index_sets)
+        _use_pallas_solve, ransac_fundamental, sample_minimal_points)
     from points_matching_tpu.ops.matching import match_descriptors
     from points_matching_tpu.ops.pallas.eightpoint_kernel import (
         minimal_eight_point)
@@ -68,8 +68,11 @@ def main():
     pd1, pd2, pp1, pp2 = sh(d1), sh(d2), sh(p1), sh(p2)
 
     mcfg = MatcherConfig(metric="l2", filter="ratio", ratio=RATIO,
-                         compute_dtype="bf16")
-    rcfg = RansacConfig(num_hypotheses=HYP)
+                         compute_dtype="bf16", compact=False)
+    rcfg = RansacConfig(
+        num_hypotheses=HYP,
+        backend=os.environ.get("PMT_PROBE_BACKEND", "auto"),
+    )
     mask1 = jnp.ones((NKP,), bool)
 
     def do_match(a, b):
@@ -86,9 +89,7 @@ def main():
             q2 = jnp.take(pb, jnp.clip(m.train_idx, 0, NKP - 1), axis=0)
             if stage == "gather":
                 return jnp.sum(q1) * 1e-6 + jnp.sum(q2) * 1e-6
-            idx = sample_index_sets(k, m.mask, HYP, 8)
-            sp1 = jnp.take(q1, idx, axis=0)
-            sp2 = jnp.take(q2, idx, axis=0)
+            sp1, sp2 = sample_minimal_points(k, m.mask, HYP, 8, (q1, q2))
             if stage == "sample":
                 return jnp.sum(sp1) * 1e-6
             F_h = solve_fn(sp1, sp2)

@@ -176,15 +176,17 @@ def ransac_pnp(
         rescues frames where minimal-set sampling starves, and a bad prior
         costs nothing.
     """
-    from points_matching_tpu.geometry.ransac import sample_index_sets
+    from points_matching_tpu.geometry.ransac import sample_minimal_points
 
     mask = mask.astype(bool)
     n = X.shape[0]
 
-    idx = sample_index_sets(key, mask, num_hypotheses, sample_size,
-                            logits=sample_logits)
-    sX = jnp.take(X, idx, axis=0)          # [H, S, 3]
-    suv = jnp.take(uv_norm, idx, axis=0)   # [H, S, 2]
+    # gather-free sampling (per-hypothesis [H, S] gathers are ~10 ns/elem
+    # on TPU — see sample_minimal_points)
+    sX, suv = sample_minimal_points(
+        key, mask, num_hypotheses, sample_size, (X, uv_norm),
+        logits=sample_logits,
+    )                                       # [H, S, 3], [H, S, 2]
 
     poses = pnp_dlt(sX, suv)               # batched over H
     if prior_pose is not None:

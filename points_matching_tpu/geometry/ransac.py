@@ -29,19 +29,20 @@ from points_matching_tpu.geometry.fundamental import (
 def _use_pallas_scoring(config: RansacConfig, num_points: int) -> bool:
     """Route hypothesis scoring to the fused Pallas Sampson kernel.
 
-    'auto' enables it on TPU only when the [H, N] score matrix is large
-    enough that avoiding its HBM round-trip pays for the kernel's fixed
-    overhead — measured on the bench chip: at 512×512 the one-fused-XLA
-    path is ~2× faster end-to-end (0.09 vs 0.19 ms per 8×64-pair step);
-    the kernel wins once [H, N] stops fitting comfortably in cache.
-    The kernel vmaps cleanly (Pallas adds a leading grid dimension), so
-    the gate also holds inside per-pair vmaps.
+    'auto' enables it on TPU once the [H, N] score matrix is big enough to
+    amortize the kernel's fixed overhead.  Re-measured r4 with true
+    chunk-fetch sync (the r2-era crossover that kept 512×512 on the XLA
+    path was a dispatch-bound artifact): at H=N=512, B=64 pairs, the fused
+    kernel cuts the production step 50.1 → 35.2 µs/pair — the XLA path
+    pays ~6 materialized [H, N] intermediates in HBM.  The kernel vmaps
+    cleanly (Pallas adds a leading grid dimension), so the gate also holds
+    inside per-pair vmaps.
     """
     if config.backend == "pallas":
         return True
     if config.backend != "auto":
         return False
-    if config.num_hypotheses * num_points < 2048 * 2048:
+    if config.num_hypotheses * num_points < 256 * 256:
         return False
     try:
         platform = jax.devices()[0].platform
@@ -113,6 +114,34 @@ def sample_index_sets(
     duplicate-free but possibly invalid pick whose hypothesis scores ~0
     inliers and loses the consensus argmax; callers that can starve
     (SfM registration) additionally gate on a minimum inlier count.
+
+    NOTE on cost: returning INDICES forces the caller into [H, S] random
+    gathers, which on TPU run ~10 ns/element through the scalar path —
+    measured 41 µs/pair for the picks gather alone plus ~27 µs/pair per
+    table gathered (r4 on-chip micro-probes).  Hot paths should use
+    ``sample_minimal_points`` below, which returns the sampled POINTS via
+    a bucket-blocked one-hot matmul and no per-hypothesis gathers.
+    """
+    j, slot_idx, bucket = _stratified_positions(
+        key, mask, num_hypotheses, sample_size, logits
+    )
+    S = sample_size
+    picks = slot_idx[jnp.arange(S)[None, :] * bucket + j]
+    return picks.astype(jnp.int32)
+
+
+def _stratified_positions(
+    key: Array,
+    mask: Array,
+    num_hypotheses: int,
+    sample_size: int,
+    logits: Optional[Array] = None,
+) -> Tuple[Array, Array, int]:
+    """Shared core of the stratified samplers: bucket-local draw positions.
+
+    Returns (j [H, S] position within each bucket, slot_idx [S·bucket]
+    original index per slot, bucket size).  See ``sample_index_sets`` for
+    the distribution contract.
     """
     n = mask.shape[-1]
     S = sample_size
@@ -143,8 +172,55 @@ def sample_index_sets(
     # (total = 0, cdf ≡ 0, u = 0) counts `bucket` and clips to the last slot
     j = jnp.sum((cdf[None] <= u[..., None]).astype(jnp.int32), axis=-1)
     j = jnp.minimum(j, bucket - 1)                        # [H, S]
-    picks = slot_idx[jnp.arange(S)[None, :] * bucket + j]
-    return picks.astype(jnp.int32)
+    return j, slot_idx, bucket
+
+
+def sample_minimal_points(
+    key: Array,
+    mask: Array,
+    num_hypotheses: int,
+    sample_size: int,
+    tables: Tuple[Array, ...],
+    logits: Optional[Array] = None,
+) -> Tuple[Array, ...]:
+    """Stratified minimal-set sampling that returns the sampled ROWS of
+    ``tables`` directly — the gather-free fast path for RANSAC solvers.
+
+    Same draw distribution as ``sample_index_sets`` (shared core), but the
+    [H, S] indexed reads are restructured as a bucket-blocked one-hot
+    matmul: the concatenated [N, C] table is permuted once into bucket
+    order ([m] row gather), and each hypothesis row is Σ_b onehot[h,s,b] ·
+    table[s,b,:] — S batched [H, bucket] × [bucket, C] GEMMs in f32
+    (one-hot entries and coordinates are exact in f32, so the result is
+    bit-exact equal to the gather).  Measured on the bench chip: the
+    gather formulation costs ~68 µs/pair at H=512, S=8, two [512, 2]
+    tables; this path removes all per-hypothesis gathers.
+
+    Args:
+      tables: arrays [N, C_i] sharing the leading axis with ``mask``.
+
+    Returns: tuple of [H, S, C_i] sampled rows, in table order.
+    """
+    j, slot_idx, bucket = _stratified_positions(
+        key, mask, num_hypotheses, sample_size, logits
+    )
+    S = sample_size
+    widths = [t.shape[-1] for t in tables]
+    table = jnp.concatenate(tables, axis=-1).astype(jnp.float32)  # [N, ΣC]
+    tab_b = table[slot_idx].reshape(S, bucket, -1)                # [S, b, C]
+    onehot = (
+        j[..., None] == jnp.arange(bucket, dtype=j.dtype)
+    ).astype(jnp.float32)                                         # [H, S, b]
+    sp = jnp.einsum(
+        "hsb,sbc->hsc", onehot, tab_b,
+        preferred_element_type=jnp.float32,
+    )
+    out = []
+    c0 = 0
+    for w in widths:
+        out.append(sp[..., c0:c0 + w])
+        c0 += w
+    return tuple(out)
 
 
 # Backwards-compatible alias (the uniform-over-mask case).
@@ -175,9 +251,9 @@ def ransac_fundamental(
     mask = mask.astype(bool)
 
     sample_size = 7 if config.solver == "7pt" else config.sample_size
-    idx = _sample_minimal_sets(key, mask, config.num_hypotheses, sample_size)
-    sp1 = jnp.take(p1, idx, axis=0)  # [H, S, 2]
-    sp2 = jnp.take(p2, idx, axis=0)
+    sp1, sp2 = sample_minimal_points(
+        key, mask, config.num_hypotheses, sample_size, (p1, p2)
+    )  # [H, S, 2] each — gather-free (see sample_minimal_points)
 
     # Solve all hypotheses at once.
     if config.solver == "7pt":

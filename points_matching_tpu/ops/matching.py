@@ -238,6 +238,20 @@ def match_descriptors(
         keep = jnp.logical_and(keep, reverse_best == qi)
 
     query_idx = jnp.arange(d1.capacity, dtype=jnp.int32)
+
+    if not config.compact:
+        # Query-order form: row i is query i's best match, mask = survived.
+        # No cumsum/scatter epilogue — mask-aware consumers (RANSAC) don't
+        # need the dense prefix, and the scatter runs on the scalar unit
+        # (~10 ns/row — the dominant matcher cost once the fused kernel
+        # does the distances).
+        return Matches(
+            query_idx=query_idx,
+            train_idx=jnp.where(keep, best_idx.astype(jnp.int32), 0),
+            distance=jnp.where(keep, best_reported, 0.0),
+            mask=keep,
+        )
+
     # Clamp to the query capacity: a max_matches beyond it would slice into
     # the overflow slot (whose discarded arbitrary entry must never surface)
     # and desync the buffer/mask lengths (ADVICE r3).

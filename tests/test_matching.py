@@ -150,3 +150,37 @@ def test_match_vs_opencv_bfmatcher():
     ):
         assert cv_by_q[int(q)].trainIdx == int(t)
         assert abs(cv_by_q[int(q)].distance - float(d)) < 1e-3
+
+
+def test_match_descriptors_uncompacted_agrees():
+    """compact=False (query-order + mask) must contain exactly the same
+    matches as the compacted form."""
+    import jax
+
+    from points_matching_tpu.core.config import MatcherConfig
+    from points_matching_tpu.core.types import Descriptors
+    from points_matching_tpu.ops.matching import match_descriptors
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    q = jax.random.normal(k1, (200, 32))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = q[jnp.arange(200)[::-1]] + 0.05 * jax.random.normal(k2, (200, 32))
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    d1 = Descriptors(data=q, mask=jnp.arange(200) < 180)
+    d2 = Descriptors(data=t, mask=jnp.ones((200,), bool))
+
+    ref = match_descriptors(d1, d2, MatcherConfig(ratio=0.9))
+    raw = match_descriptors(d1, d2, MatcherConfig(ratio=0.9, compact=False))
+
+    # identical (query, train, distance) sets
+    rm = np.asarray(ref.mask)
+    pairs_ref = set(zip(np.asarray(ref.query_idx)[rm].tolist(),
+                        np.asarray(ref.train_idx)[rm].tolist()))
+    m = np.asarray(raw.mask)
+    assert np.array_equal(np.asarray(raw.query_idx), np.arange(200))
+    pairs_raw = set(zip(np.asarray(raw.query_idx)[m].tolist(),
+                        np.asarray(raw.train_idx)[m].tolist()))
+    assert pairs_ref == pairs_raw
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ref.distance)[rm]),
+        np.sort(np.asarray(raw.distance)[m]), atol=1e-6)
