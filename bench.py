@@ -95,6 +95,7 @@ SECTION_TIMEOUT_S = {
     "sfm": 1500,
     "scaling": 1500,
     "opencv": 600,
+    "opencv_sfm": 600,
 }
 
 _T0 = time.time()
@@ -735,7 +736,9 @@ def bench_scaling():
             continue
         lines.append({k: rec[k] for k in
                       ("metric", "n_devices", "value", "unit",
-                       "efficiency_vs_1dev")})
+                       "efficiency_vs_1dev", "host_physical_cores",
+                       "physical_efficiency_cap")
+                      if k in rec})
     if not lines:
         raise RuntimeError(
             f"scaling.py produced no JSON (rc={proc.returncode}): "
@@ -764,10 +767,15 @@ def bench_opencv_sfm(num_frames=64):
         return [m for m, n in knn
                 if m.distance < RATIO_SFM * max(n.distance, 1e-12)]
 
+    BOOT = 4  # bootstrap baseline frames[0]→frames[4]: at the sequence's
+    # 0.12/frame step the 1-frame baseline gives recoverPose ~4 cheirality
+    # inliers (0.7° triangulation angles vs 0.3 px noise); 4 frames is the
+    # classic keyframe-gap workaround
+
     def run_once():
-        # bootstrap from frames 0/1: E + recoverPose + triangulate
+        # bootstrap: E + recoverPose + triangulate over the BOOT baseline
         xy0, dd0, mm0, _ = frames[0]
-        xy1, dd1, mm1, _ = frames[1]
+        xy1, dd1, mm1, _ = frames[BOOT]
         good = ratio_matches(dd0[mm0], dd1[mm1])
         q0 = np.float32([xy0[mm0][m.queryIdx] for m in good])
         q1 = np.float32([xy1[mm1][m.trainIdx] for m in good])
@@ -781,11 +789,13 @@ def bench_opencv_sfm(num_frames=64):
         keep = np.asarray(pose_inl)[:, 0] > 0
         bank_X = X[keep]
         bank_d = np.float32([dd1[mm1][m.trainIdx] for m in good])[keep]
-        prev = (xy1[mm1], dd1[mm1], P1)
+        # lagged keyframe ring: triangulating vs the immediately previous
+        # frame reuses the degenerate 1-frame baseline and poisons the bank
+        recent = [(xy1[mm1], dd1[mm1], P1)]
 
         n_reg = 0
         t0 = time.perf_counter()
-        for xy, dd, mm, _ in frames[2:]:
+        for xy, dd, mm, _ in frames[BOOT + 1:]:
             fxy, fdd = xy[mm], dd[mm]
             # 2D-3D: match frame descriptors against the landmark bank
             good = ratio_matches(fdd, bank_d)
@@ -799,8 +809,9 @@ def bench_opencv_sfm(num_frames=64):
                     n_reg += 1
                     R, _ = cv2.Rodrigues(rvec)
                     P = Km @ np.hstack([R, tvec]).astype(np.float32)
-                    # grow the map: triangulate fresh matches vs prev frame
-                    pxy, pdd, Pprev = prev
+                    # grow the map: triangulate vs the OLDEST recent
+                    # keyframe (≈BOOT-frame baseline)
+                    pxy, pdd, Pprev = recent[0]
                     g2 = ratio_matches(fdd, pdd)
                     if len(g2) >= 8:
                         a = np.float32([pxy[m.trainIdx] for m in g2])
@@ -809,18 +820,28 @@ def bench_opencv_sfm(num_frames=64):
                         Xn = (X4[:3] / np.maximum(np.abs(X4[3:4]), 1e-12) *
                               np.sign(X4[3:4])).T.astype(np.float32)
                         dn = np.float32([fdd[m.queryIdx] for m in g2])
-                        bank_X = np.vstack([bank_X, Xn])[-4096:]
-                        bank_d = np.vstack([bank_d, dn])[-4096:]
-                    prev = (fxy, fdd, P)
+                        # cheirality + reprojection gate before banking
+                        Xh = np.hstack([Xn, np.ones((len(Xn), 1), np.float32)])
+                        ok_pt = np.ones(len(Xn), bool)
+                        for Pv, uv in ((Pprev, a), (P, b)):
+                            pc = Xh @ Pv.T
+                            z = pc[:, 2]
+                            pr = pc[:, :2] / np.maximum(z[:, None], 1e-9)
+                            err = np.linalg.norm(pr - uv, axis=-1)
+                            ok_pt &= (z > 0.1) & (err < 2.0)
+                        bank_X = np.vstack([bank_X, Xn[ok_pt]])[-4096:]
+                        bank_d = np.vstack([bank_d, dn[ok_pt]])[-4096:]
+                    recent.append((fxy, fdd, P))
+                    recent = recent[-BOOT:]
         dt = time.perf_counter() - t0
-        return (num_frames - 2) / dt, n_reg
+        return (num_frames - BOOT - 1) / dt, n_reg
 
     fps, n_reg = run_once()
     fps2, _ = run_once()
     return dict(
         frames_per_sec=max(fps, fps2),
         frames_registered=n_reg,
-        num_frames=num_frames - 2,
+        num_frames=num_frames - BOOT - 1,
         note="no local BA (ours runs windowed BA per chunk)",
     )
 
@@ -851,6 +872,7 @@ _SECTIONS = {
     "sfm": lambda: bench_sfm_frames(),
     "scaling": lambda: bench_scaling(),
     "opencv": lambda: bench_opencv(),
+    "opencv_sfm": lambda: bench_opencv_sfm(),
 }
 
 
@@ -965,6 +987,17 @@ def main():
                 (sections.get("sfm") or {}).get("frames_per_sec"), 2
             ),
             "sfm_gap_s": rnd((sections.get("sfm") or {}).get("gap_s"), 3),
+            "opencv_sfm": sections.get("opencv_sfm") and {
+                k: rnd(v, 2) if isinstance(v, float) else v
+                for k, v in sections["opencv_sfm"].items()
+            },
+            "sfm_vs_opencv": rnd(
+                (sections.get("sfm") or {}).get("frames_per_sec", 0)
+                / sections["opencv_sfm"]["frames_per_sec"]
+                if (sections.get("opencv_sfm") or {}).get("frames_per_sec")
+                and (sections.get("sfm") or {}).get("frames_per_sec")
+                else None, 2
+            ),
             "scaling_fake_cpu_mesh": sections.get("scaling"),
             "opencv_cpu_pairs_per_sec": rnd(baseline),
         },

@@ -112,6 +112,15 @@ class BAConfig:
     huber_delta: float = 0.0       # 0 → plain L2; >0 → Huber robust loss
     solver: str = "cholesky"       # 'cholesky' | 'pcg' (reduced camera system)
     pcg_iterations: int = 50
+    obs_layout: str = "auto"       # sparse engine reduction layout:
+                                   # 'scatter' = jax segment_sum (fast on
+                                   # CPU); 'sorted' = sort-once + cumsum-
+                                   # diff landmark sums + one-hot-GEMM
+                                   # camera sums (TPU scatter runs on the
+                                   # scalar unit — measured 0.6-1.0 ms per
+                                   # 32k-obs segment_sum on the bench chip
+                                   # vs 0.13-0.18 ms for these forms);
+                                   # 'auto' = sorted on TPU, scatter else
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,7 +151,14 @@ class SfMConfig:
     # (duplicate landmarks, bad tracks) and one unbounded L2 residual can
     # steer every BA step; plain-L2 BAConfig stays available for the
     # synthetic/parity tests that expect exact Gauss-Newton behavior.
-    ba: BAConfig = BAConfig(huber_delta=3.0)
+    # Iteration budget sized for the WINDOWED refresh this config drives
+    # (local_bundle_adjust every ba_every frames): the window re-enters BA
+    # every few frames from a near-converged state, so 6 LM × 16 PCG with
+    # early exit (rtol 1e-4) matches the offline 20×50 budget's ATE on the
+    # 100-frame sequence at ~10× less per-call work — the BA call was ~90%
+    # of the 233 ms/frame r3 SfM step.
+    ba: BAConfig = BAConfig(huber_delta=3.0, max_iterations=6,
+                            pcg_iterations=16, rtol=1e-4)
     # 2D↔3D matching (frame descriptors vs the landmark bank) must NOT use
     # the ratio test: duplicate landmarks make best ≈ second-best and the
     # ratio filter rejects perfectly good correspondences.  Absolute

@@ -234,3 +234,76 @@ def test_sparse_ba_at_scale_dense_grid_cannot_hold():
     out, stats = bundle_adjust_sparse(state, K, cfg)
     assert np.isfinite(float(stats.final_cost))
     assert float(stats.final_cost) < float(stats.initial_cost)
+
+
+def test_sorted_layout_matches_scatter():
+    """obs_layout='sorted' (TPU path: sort-once + cumsum-diff landmark
+    sums + one-hot-GEMM camera sums) must reproduce the scatter
+    segment_sum path: same per-iteration algebra to f32 tolerance, same
+    final cost trajectory, and the returned state must keep the caller's
+    observation ordering."""
+    import dataclasses
+
+    from points_matching_tpu.core.config import BAConfig
+
+    _, sparse, K = _problem_pair(seed=7, cameras=6, landmarks=64, drop=0.3)
+    # perturb so BA has real work
+    sparse = sparse.replace(
+        X=sparse.X + 0.03 * jax.random.normal(jax.random.PRNGKey(1),
+                                              sparse.X.shape)
+    )
+    cfg_scatter = BAConfig(max_iterations=8, rtol=0.0, pcg_iterations=20,
+                           obs_layout="scatter")
+    cfg_sorted = dataclasses.replace(cfg_scatter, obs_layout="sorted")
+
+    out_a, st_a = bundle_adjust_sparse(sparse, K, cfg_scatter)
+    out_b, st_b = bundle_adjust_sparse(sparse, K, cfg_sorted)
+
+    np.testing.assert_allclose(float(st_b.initial_cost),
+                               float(st_a.initial_cost), rtol=1e-5)
+    np.testing.assert_allclose(float(st_b.final_cost),
+                               float(st_a.final_cost), rtol=2e-3)
+    # observation ordering preserved for the caller
+    np.testing.assert_array_equal(np.asarray(out_b.lm_idx),
+                                  np.asarray(sparse.lm_idx))
+    np.testing.assert_array_equal(np.asarray(out_b.cam_idx),
+                                  np.asarray(sparse.cam_idx))
+    # same solution to solver tolerance
+    np.testing.assert_allclose(np.asarray(out_b.poses.t),
+                               np.asarray(out_a.poses.t), atol=5e-3)
+    lm_seen = np.zeros(sparse.num_landmarks, bool)
+    lm_seen[np.asarray(sparse.lm_idx)[np.asarray(sparse.obs_mask)]] = True
+    np.testing.assert_allclose(np.asarray(out_b.X)[lm_seen],
+                               np.asarray(out_a.X)[lm_seen], atol=2e-2)
+
+
+def test_distributed_sparse_ba_sorted_layout():
+    """obs_layout='sorted' under shard_map (the real-TPU configuration —
+    per-shard sort + scatter-free reductions + psum) must match the
+    scatter distributed path on the faked 8-device mesh."""
+    import dataclasses
+
+    from points_matching_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+    from points_matching_tpu.parallel.sharded_ba import (
+        distributed_bundle_adjust_sparse,
+    )
+
+    _, sparse, K = _problem_pair(seed=5, noise=0.3)
+    key = jax.random.PRNGKey(13)
+    sparse = sparse.replace(
+        X=sparse.X + 0.05 * jax.random.normal(key, sparse.X.shape)
+    )
+    cfg = BAConfig(max_iterations=6, rtol=0.0, pcg_iterations=25,
+                   obs_layout="scatter")
+    mesh = make_mesh((8,), axes=(MODEL_AXIS,))
+    ref_out, ref_stats = distributed_bundle_adjust_sparse(sparse, K, mesh, cfg)
+    out, stats = distributed_bundle_adjust_sparse(
+        sparse, K, mesh, dataclasses.replace(cfg, obs_layout="sorted")
+    )
+    np.testing.assert_allclose(float(stats.initial_cost),
+                               float(ref_stats.initial_cost), rtol=1e-5)
+    np.testing.assert_allclose(float(stats.final_cost),
+                               float(ref_stats.final_cost), rtol=5e-2)
+    assert float(stats.final_cost) < 0.5 * float(stats.initial_cost)
+    np.testing.assert_allclose(np.asarray(out.poses.t),
+                               np.asarray(ref_out.poses.t), atol=5e-2)
