@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import struct
 from jax import Array
 
+from points_matching_tpu.core.precision import f32_matmuls
 from points_matching_tpu.ba.residuals import (
     huber_weights,
     reprojection_residuals,
@@ -102,6 +103,7 @@ class LMStats(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("config",))
+@f32_matmuls
 def bundle_adjust(
     state: BAState,
     K: CameraIntrinsics,

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from flax import struct
 from jax import Array
 
+from points_matching_tpu.core.precision import f32_matmuls
 from points_matching_tpu.ba.residuals import _residual_one
 from points_matching_tpu.ba.schur import _damp, _inv3
 from points_matching_tpu.core.config import BAConfig
@@ -107,9 +108,15 @@ def _sorted_ops(
     starts = jnp.searchsorted(key, jnp.arange(L), side="left")
     ends = jnp.searchsorted(key, jnp.arange(L), side="right")
 
+    # Per-operand precision: the 0/1 one-hot is EXACT in bf16 (DEFAULT);
+    # only the values operand needs the f32 split (HIGHEST) — 3 MXU passes
+    # instead of the 6 a blanket HIGHEST would cost under the engine's
+    # f32_matmuls scope.
+    _ONEHOT_PREC = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
     def seg_cam(v):
         flat = v.reshape(O, -1)
-        out = onehot @ flat
+        out = jnp.einsum("co,ok->ck", onehot, flat, precision=_ONEHOT_PREC)
         return out.reshape((C,) + v.shape[1:])
 
     def seg_lm(v):
@@ -123,7 +130,7 @@ def _sorted_ops(
 
     def expand_cam(x):
         flat = x.reshape(C, -1)
-        out = onehot.T @ flat
+        out = jnp.einsum("co,ck->ok", onehot, flat, precision=_ONEHOT_PREC)
         return out.reshape((O,) + x.shape[1:])
 
     def gather_lm(v):
@@ -456,6 +463,7 @@ def _apply_update(state: SparseBAState, dc: Array, dl: Array) -> SparseBAState:
     return state.replace(poses=Pose(R=newR, t=newt), X=state.X + dl)
 
 
+@f32_matmuls
 def _bundle_adjust_sparse_impl(
     state: SparseBAState,
     K: CameraIntrinsics,

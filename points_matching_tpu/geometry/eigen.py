@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from points_matching_tpu.core.precision import f32_matmuls
+
 def _cholesky_unrolled(M: Array) -> list:
     """Batched Cholesky of a small SPD matrix, fully unrolled at trace time.
 
@@ -77,6 +79,7 @@ def _cho_solve_unrolled(L: list, b: Array) -> Array:
     return jnp.stack(x, axis=-1)
 
 
+@f32_matmuls
 def smallest_eigvecs_psd(M: Array, k: int = 1, iters: int = 8,
                          eps_scale: float = 1e-5) -> Array:
     """Orthonormal basis of the k-smallest-eigenvalue subspace of PSD ``M``.
@@ -153,6 +156,7 @@ def smallest_eigvec_psd(M: Array, iters: int = 4) -> Array:
     return smallest_eigvecs_psd(M, k=1, iters=iters)[..., :, 0]
 
 
+@f32_matmuls
 def nearest_rotation_so3(M: Array, iters: int = 24) -> Array:
     """Nearest proper rotation (Frobenius) to a 3×3 — det(R) = +1 guaranteed.
 
@@ -203,6 +207,7 @@ def nearest_rotation_so3(M: Array, iters: int = 24) -> Array:
     ], axis=-2)
 
 
+@f32_matmuls
 def svd3_rotational(A: Array, iters: int = 24) -> tuple[Array, Array, Array]:
     """SVD of a 3×3 with det(U) = det(V) = +1 ("SVD with rotations").
 
@@ -286,6 +291,7 @@ def svd3_rotational(A: Array, iters: int = 24) -> tuple[Array, Array, Array]:
     return U, s, Vt
 
 
+@f32_matmuls
 def project_rank2(F: Array) -> Array:
     """Nearest rank-2 matrix (Frobenius) to a 3×3 — SVD-free.
 

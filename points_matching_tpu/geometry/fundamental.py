@@ -28,6 +28,8 @@ from points_matching_tpu.geometry.eigen import (
 from points_matching_tpu.geometry.homogeneous import to_homogeneous
 from points_matching_tpu.geometry.normalize import hartley_normalize
 
+from points_matching_tpu.core.precision import f32_matmuls
+
 
 def _constraint_rows(p1: Array, p2: Array) -> Array:
     """Epipolar constraint rows: A f = 0 for f = vec(F) (row-major), with
@@ -72,6 +74,7 @@ def _sign_normalize(F: Array, eps: float = 1e-12) -> Array:
     return F * sign[..., None, None]
 
 
+@f32_matmuls
 def eight_point(
     p1: Array,
     p2: Array,
@@ -177,6 +180,7 @@ def _cubic_roots_real(a: Array, b: Array, c: Array, d: Array, eps: float = 1e-12
     return roots, valid
 
 
+@f32_matmuls
 def seven_point(p1: Array, p2: Array) -> Tuple[Array, Array]:
     """7-point fundamental solve — up to 3 solutions.
 
@@ -230,6 +234,7 @@ def seven_point(p1: Array, p2: Array) -> Tuple[Array, Array]:
     return _sign_normalize(F), valid
 
 
+@f32_matmuls
 def find_fundamental(
     p1: Array, p2: Array, mask: Array
 ) -> Tuple[Array, Array]:
@@ -268,6 +273,7 @@ def find_fundamental(
     return jax.lax.cond(n_valid == 7, branch_7pt, branch_8pt, operand=None)
 
 
+@f32_matmuls
 def epipolar_residuals(F: Array, p1: Array, p2: Array) -> Array:
     """Algebraic residual p2ᵀ F p1 per correspondence.  [..., N]."""
     p1h = to_homogeneous(p1)
@@ -275,6 +281,7 @@ def epipolar_residuals(F: Array, p1: Array, p2: Array) -> Array:
     return jnp.einsum("...ni,...ij,...nj->...n", p2h, F, p1h)
 
 
+@f32_matmuls
 def epipolar_residual_audit(
     F: Array,
     p1: Array,
@@ -307,6 +314,7 @@ def epipolar_residual_audit(
     return r, mean
 
 
+@f32_matmuls
 def sampson_distance(F: Array, p1: Array, p2: Array, eps: float = 1e-12) -> Array:
     """First-order geometric (Sampson) distance per correspondence — the
     RANSAC gating metric.  [..., N]."""
@@ -319,6 +327,7 @@ def sampson_distance(F: Array, p1: Array, p2: Array, eps: float = 1e-12) -> Arra
     return (r * r) / jnp.maximum(denom, eps)
 
 
+@f32_matmuls
 def compute_epilines(points: Array, which_image: int, F: Array) -> Array:
     """Epipolar lines for points — ``cv::computeCorrespondEpilines`` parity
     (demo call site ``main.cpp:128-132``).
@@ -341,6 +350,7 @@ def compute_epilines(points: Array, which_image: int, F: Array) -> Array:
     return lines / jnp.maximum(norm, 1e-12)
 
 
+@f32_matmuls
 def essential_from_fundamental(F: Array, K1: Array, K2: Array) -> Array:
     """E = K2ᵀ F K1, projected to the essential manifold (σ = (1, 1, 0)).
 
@@ -353,6 +363,7 @@ def essential_from_fundamental(F: Array, K1: Array, K2: Array) -> Array:
     return U @ (S_proj[..., :, None] * Vt)
 
 
+@f32_matmuls
 def fundamental_from_essential(E: Array, K1: Array, K2: Array) -> Array:
     """F = K2⁻ᵀ E K1⁻¹."""
     K1_inv = jnp.linalg.inv(K1)

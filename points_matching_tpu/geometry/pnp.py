@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from points_matching_tpu.core.precision import f32_matmuls
 from points_matching_tpu.core.types import Pose
 from points_matching_tpu.geometry.eigen import (
     nearest_rotation_so3,
@@ -22,6 +23,7 @@ from points_matching_tpu.geometry.eigen import (
 from points_matching_tpu.geometry.se3 import se3_exp
 
 
+@f32_matmuls
 def pnp_dlt(X: Array, uv_norm: Array, weights: Array | None = None) -> Pose:
     """Direct linear transform PnP (≥6 points).
 
@@ -94,6 +96,7 @@ def pnp_dlt(X: Array, uv_norm: Array, weights: Array | None = None) -> Pose:
     return Pose(R=R, t=t)
 
 
+@f32_matmuls
 def pnp_refine(
     pose: Pose,
     X: Array,
@@ -135,6 +138,7 @@ class PnPResult(NamedTuple):
     num_inliers: Array
 
 
+@f32_matmuls
 def ransac_pnp(
     key: Array,
     X: Array,

@@ -9,11 +9,13 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from points_matching_tpu.core.precision import f32_matmuls
 from points_matching_tpu.core.types import Pose
 from points_matching_tpu.geometry.eigen import svd3_rotational
 from points_matching_tpu.geometry.triangulate import triangulate_dlt
 
 
+@f32_matmuls
 def decompose_essential(E: Array) -> Tuple[Array, Array, Array]:
     """Decompose E into the 4 (R, t) candidates.
 
@@ -34,6 +36,7 @@ def decompose_essential(E: Array) -> Tuple[Array, Array, Array]:
     return R, t, u3
 
 
+@f32_matmuls
 def recover_pose(
     E: Array,
     p1_norm: Array,

@@ -18,6 +18,7 @@ from jax import Array
 
 from points_matching_tpu.core.config import RansacConfig
 from points_matching_tpu.core.types import TwoViewEstimate
+from points_matching_tpu.core.precision import f32_matmuls
 from points_matching_tpu.geometry.fundamental import (
     eight_point,
     epipolar_residual_audit,
@@ -72,6 +73,7 @@ def _use_pallas_solve(config: RansacConfig, sample_size: int) -> bool:
     return platform in ("tpu", "axon")
 
 
+@f32_matmuls
 def sample_index_sets(
     key: Array,
     mask: Array,
@@ -175,6 +177,7 @@ def _stratified_positions(
     return j, slot_idx, bucket
 
 
+@f32_matmuls
 def sample_minimal_points(
     key: Array,
     mask: Array,
@@ -190,9 +193,9 @@ def sample_minimal_points(
     [H, S] indexed reads are restructured as a bucket-blocked one-hot
     matmul: the concatenated [N, C] table is permuted once into bucket
     order ([m] row gather), and each hypothesis row is Σ_b onehot[h,s,b] ·
-    table[s,b,:] — S batched [H, bucket] × [bucket, C] GEMMs in f32
-    (one-hot entries and coordinates are exact in f32, so the result is
-    bit-exact equal to the gather).  Measured on the bench chip: the
+    table[s,b,:] — S batched [H, bucket] × [bucket, C] GEMMs (on TPU the
+    coordinate operand uses the 3-term bf16 split, reconstructing the f32
+    row to ≤1 ulp; exact on CPU).  Measured on the bench chip: the
     gather formulation costs ~68 µs/pair at H=512, S=8, two [512, 2]
     tables; this path removes all per-hypothesis gathers.
 
@@ -211,9 +214,14 @@ def sample_minimal_points(
     onehot = (
         j[..., None] == jnp.arange(bucket, dtype=j.dtype)
     ).astype(jnp.float32)                                         # [H, S, b]
+    # one-hot operand is exact in bf16 (DEFAULT); the coordinate operand
+    # carries pixel values ~600 and needs the f32 split (HIGHEST) — the
+    # per-operand tuple keeps the selection exact at half the passes of a
+    # blanket HIGHEST (core/precision.py).
     sp = jnp.einsum(
         "hsb,sbc->hsc", onehot, tab_b,
         preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
     )
     out = []
     c0 = 0
@@ -230,6 +238,7 @@ def _sample_minimal_sets(
     return sample_index_sets(key, mask, num_hypotheses, sample_size)
 
 
+@f32_matmuls
 def ransac_fundamental(
     key: Array,
     p1: Array,

@@ -7,9 +7,11 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from jax import Array
 
+from points_matching_tpu.core.precision import f32_matmuls
 from points_matching_tpu.geometry.eigen import smallest_eigvec_psd
 
 
+@f32_matmuls
 def triangulate_dlt(
     P1: Array, P2: Array, p1: Array, p2: Array
 ) -> Tuple[Array, Array]:

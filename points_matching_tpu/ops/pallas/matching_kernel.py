@@ -39,10 +39,16 @@ def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
     # only needs ‖t‖² and the GEMM.  gemm_dtype='bf16' feeds the MXU its
     # native operand width (f32 accumulation via preferred_element_type),
     # matching the XLA path's compute_dtype semantics.
+    # compute_dtype='f32' must mean f32: at DEFAULT precision the TPU
+    # truncates f32 GEMM operands to bf16, silently giving the bf16 path
+    # (core/precision.py).  bf16 operands are single-pass either way.
     d = t2_ref[:] - 2.0 * jax.lax.dot_general(
         q.astype(gemm_dtype), t.astype(gemm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST
+                   if gemm_dtype == jnp.float32 else
+                   jax.lax.Precision.DEFAULT),
     )                                  # [TQ, TT]
 
     tt = d.shape[1]

@@ -45,10 +45,16 @@ def _score_kernel(f_row_ref, f_col_ref, p1_ref, p2_ref, bias_ref,
     P1 = p1_ref[:]             # [3, TN]  homogeneous p1ᵀ
     P2 = p2_ref[:]             # [3, TN]  homogeneous p2ᵀ
 
+    # precision=HIGHEST: at DEFAULT, TPU truncates these f32 operands to
+    # bf16; the Sampson residual r = p2ᵀFp1 is a near-cancellation of O(1)
+    # terms and bf16 products flip the inlier gate en masse — measured 69
+    # vs 326 inliers on the reference image pair (core/precision.py).  The
+    # contractions are K=3, so exactness costs nothing.
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     a1 = dot(F9[:, 0:3], P1)   # (Fp1)₁
     a2 = dot(F9[:, 3:6], P1)   # (Fp1)₂

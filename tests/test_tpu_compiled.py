@@ -114,3 +114,56 @@ def test_ransac_scoring_compiled_parity():
     # f32 Sampson on two backends: a residual sitting exactly on the
     # threshold may flip — allow a tiny count difference per hypothesis
     assert int(jnp.max(jnp.abs(out - ref))) <= 2
+
+
+def test_minimal_eight_point_compiled_parity():
+    """Compiled (Mosaic) fused 8-point vs the XLA chain on noise-free
+    geometric samples — hard convergence, entries must agree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from points_matching_tpu.data.synthetic import make_two_view_scene
+    from points_matching_tpu.geometry.fundamental import (
+        eight_point, sampson_distance)
+    from points_matching_tpu.ops.pallas.eightpoint_kernel import (
+        minimal_eight_point)
+
+    scene = make_two_view_scene(jax.random.PRNGKey(3), num_points=256,
+                                noise=0.0)
+    rng = np.random.RandomState(0)
+    H = 512
+    idx = np.stack([rng.choice(256, 8, replace=False) for _ in range(H)])
+    sp1 = jnp.asarray(np.asarray(scene.p1)[idx])
+    sp2 = jnp.asarray(np.asarray(scene.p2)[idx])
+    F_pal = minimal_eight_point(sp1, sp2)     # compiled
+    F_ref = eight_point(sp1, sp2)
+    # quality: median sampson of each hypothesis on ALL points must be at
+    # the noise floor for BOTH paths
+    d_pal = sampson_distance(F_pal, scene.p1[None], scene.p2[None])
+    d_ref = sampson_distance(F_ref, scene.p1[None], scene.p2[None])
+    med_pal = float(jnp.median(jnp.median(d_pal, axis=-1)))
+    med_ref = float(jnp.median(jnp.median(d_ref, axis=-1)))
+    assert med_pal < max(5.0, 3 * med_ref), (med_pal, med_ref)
+    assert bool(jnp.all(jnp.isfinite(F_pal)))
+
+
+def test_ransac_fundamental_compiled_quality():
+    """Full production RANSAC (pallas solve + scoring + sampler) compiled
+    on the chip must recover the true consensus on a 30%-outlier scene."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from points_matching_tpu.core.config import RansacConfig
+    from points_matching_tpu.data.synthetic import make_two_view_scene
+    from points_matching_tpu.geometry.ransac import ransac_fundamental
+
+    scene = make_two_view_scene(jax.random.PRNGKey(2), num_points=512,
+                                noise=0.3, outlier_fraction=0.3)
+    est = ransac_fundamental(
+        jax.random.PRNGKey(1), scene.p1, scene.p2, scene.mask,
+        RansacConfig(num_hypotheses=512, inlier_threshold=1.5),
+    )
+    n = int(est.num_inliers)
+    assert n > 512 * 0.55, n
