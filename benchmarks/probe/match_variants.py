@@ -160,8 +160,8 @@ def main():
         "pallas_raw": lambda a, b: jax.vmap(step_pallas_raw)(a, b).sum(),
         "pallas_gemm": lambda a, b: jax.vmap(step_pallas_gemm)(a, b).sum(),
     }
-    for tq in (128, 256, 512):
-        for tt in (256, 512):
+    for tq in (128, 256, 512, 1024):
+        for tt in (256, 512, 1024):
             steps[f"tiles_{tq}x{tt}"] = (
                 lambda a, b, s=make_step_tiles(tq, tt): jax.vmap(s)(a, b).sum()
             )

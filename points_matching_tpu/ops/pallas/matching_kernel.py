@@ -116,7 +116,7 @@ def fused_l2_top2(
     q: Array,
     t: Array,
     t_mask: Array,
-    tile_q: int = 256,
+    tile_q: int = 512,
     tile_t: int = 512,
     interpret: bool = False,
     compute_dtype: str = "f32",
@@ -134,6 +134,13 @@ def fused_l2_top2(
 
     Matches ``knn_match(..., k=2)`` semantics for valid rows.  The caller
     applies query-side masking.
+
+    Tile default 512×512 from the r4 on-chip sweep
+    (benchmarks/probe/match_variants.py): 2.92 µs/pair vs 4.11 (256×512),
+    5.4 (256×256 / 128×512) at the 512-kp bench shape — at N=512 the whole
+    problem is a single grid step with both operands and the distance tile
+    VMEM-resident.  The same sweep's GEMM-only kernel variant measures the
+    top-2 bookkeeping at ~59% of kernel time (4.12 vs 1.69 µs/pair).
     """
     n1, d = q.shape
     n2 = t.shape[0]
