@@ -35,6 +35,17 @@ def checked(fn: Callable, errors=DEFAULT_CHECKS) -> Callable:
 
     The wrapped function stays jittable — checks compile into the XLA
     program (a few % overhead), so it runs on TPU, under vmap, in scans.
+
+    Two measured limitations (r4):
+      * checkify cannot instrument Pallas kernel INTERIORS — Mosaic
+        rejects the injected error-state loads ("Can only load scalars
+        from SMEM").  On TPU, checkify pipelines with ``backend='xla'``
+        in their Matcher/Ransac configs; the kernels have their own
+        compiled-parity tests (tests/test_tpu_compiled.py).
+      * checkify-instrumenting the batched RANSAC hypothesis path makes
+        the XLA CPU compile pathological (hours at any hypothesis count);
+        check the frontend and the no-RANSAC pipeline instead (see
+        tests/test_utils.py) and rely on RANSAC's unit checks.
     """
     cfn = checkify.checkify(fn, errors=errors)
 
