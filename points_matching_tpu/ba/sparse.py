@@ -156,10 +156,21 @@ def _sort_obs_by_landmark(state: "SparseBAState") -> "SparseBAState":
     )
 
 
-def _use_sorted_layout(config: BAConfig) -> bool:
+# 'auto' sorted-layout size gates.  The [C, O] one-hot is O(C·O) f32 —
+# capped at 256 MB (e.g. 4k cams × 4M obs = 64 GB would silently OOM) —
+# and the landmark cumsum-diff's prefix-cancellation error grows linearly
+# with O (measured 4e-6 relative at 32k obs ⇒ ~1e-4 at 1M), so very large
+# merged-BA problems fall back to scatter segment_sum, which is exact.
+_SORTED_MAX_ONEHOT_ELEMS = 64 * 1024 * 1024   # C*O ≤ 64M (256 MB f32)
+_SORTED_MAX_OBS = 1 << 20                      # O ≤ 1M
+
+
+def _use_sorted_layout(config: BAConfig, C: int = 0, O: int = 0) -> bool:
     if config.obs_layout == "sorted":
         return True
     if config.obs_layout != "auto":
+        return False
+    if C * O > _SORTED_MAX_ONEHOT_ELEMS or O > _SORTED_MAX_OBS:
         return False
     try:
         platform = jax.devices()[0].platform
@@ -179,6 +190,12 @@ class SparseBAState:
     uv: Array                 # [O, 2] measurements
     obs_mask: Array           # [O] validity
     cam_fixed: Array          # [C] bool — gauge-fixed cameras
+    lm_fixed: Array           # [L] bool — held-constant landmarks: their
+                              # observations still constrain cameras (the U
+                              # term — PnP-like absolute anchors) but they
+                              # are excluded from the Schur elimination and
+                              # receive no update (implemented by zeroing
+                              # their V⁻¹ rows, which makes dl exactly 0)
 
     @property
     def num_cameras(self) -> int:
@@ -211,6 +228,7 @@ def make_sparse_ba_state(
         uv=uv,
         obs_mask=obs_mask.astype(bool),
         cam_fixed=jnp.arange(C) < num_fixed_cameras,
+        lm_fixed=jnp.zeros((X.shape[0],), bool),
     )
 
 
@@ -359,11 +377,18 @@ def sparse_schur_matvec(
 def _sparse_schur_prep(
     eq: SparseNormalEq, lam: Array, axis_name: Optional[str] = None,
     ops: Optional[SegOps] = None,
+    lm_fixed: Optional[Array] = None,
 ):
     """Damped V⁻¹, reduced gradient g, and the Jacobi preconditioner
-    (exact 6×6 diagonal blocks of S, one segment-sum)."""
+    (exact 6×6 diagonal blocks of S, one segment-sum).
+
+    ``lm_fixed`` rows get V⁻¹ = 0, which removes them from the Schur
+    elimination everywhere downstream (matvec, gradient, preconditioner,
+    back-substitution) while their U-term camera constraints remain."""
     ops = _eq_ops(eq, ops)
     Vinv = _inv3(_damp(eq.V, lam))
+    if lm_fixed is not None:
+        Vinv = jnp.where(lm_fixed[:, None, None], 0.0, Vinv)
     # g = bc − W V⁻¹ bl
     Vb = jnp.einsum("lij,lj->li", Vinv, eq.bl)              # [L, 3]
     WVb = jnp.einsum("oij,oj->oi", eq.Wo, ops.gather_lm(Vb))  # [O, 6]
@@ -383,16 +408,18 @@ def solve_sparse_schur_pcg(
     iterations: int = 50,
     axis_name: Optional[str] = None,
     ops: Optional[SegOps] = None,
+    lm_fixed: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Jacobi-preconditioned CG on the implicit reduced camera system +
-    landmark back-substitution.  Returns (dc [C, 6], dl [L, 3]).
+    landmark back-substitution.  Returns (dc [C, 6], dl [L, 3];
+    ``lm_fixed`` rows of dl are exactly 0).
 
     Distributed: the CG state (x, r, p — all [C, 6]) is replicated, so the
     dot products need no collective; only the two segment-sums inside each
     matvec psum.
     """
     ops = _eq_ops(eq, ops)
-    Vinv, g, Minv = _sparse_schur_prep(eq, lam, axis_name, ops)
+    Vinv, g, Minv = _sparse_schur_prep(eq, lam, axis_name, ops, lm_fixed)
 
     mv = lambda x: sparse_schur_matvec(eq, Vinv, lam, x, axis_name, ops)
     precond = lambda r: jnp.einsum("cij,cj->ci", Minv, r)
@@ -482,7 +509,7 @@ def _bundle_adjust_sparse_impl(
     psum-completed sums are unchanged.
     """
     orig_state = state
-    if _use_sorted_layout(config):
+    if _use_sorted_layout(config, state.num_cameras, state.num_observations):
         state = _sort_obs_by_landmark(state)
         ops = _sorted_ops(
             state.num_cameras, state.num_landmarks,
@@ -502,7 +529,8 @@ def _bundle_adjust_sparse_impl(
             state, r, Jc, Jl, w, axis_name, ops
         )
         dc, dl = solve_sparse_schur_pcg(
-            eq, lam, config.pcg_iterations, axis_name, ops
+            eq, lam, config.pcg_iterations, axis_name, ops,
+            lm_fixed=state.lm_fixed,
         )
 
         new_state = _apply_update(state, dc, dl)

@@ -180,6 +180,16 @@ class SfMConfig:
     max_observations: int = 32768
     keyframe_min_inliers: int = 30
     local_ba_window: int = 8
+    # Static observation capacity of the WINDOWED local BA.  The r4 probe
+    # measured the local BA re-solving the full max_observations table
+    # (32 768 rows) every call at 91% of the 13.1 ms frame cost; the window
+    # only needs its recent-observation suffix.  local_bundle_adjust slices
+    # the last local_ba_obs rows (observations append in time order, so the
+    # suffix is exactly the recent frames' measurements) and holds
+    # landmarks created before the slice fixed — their in-slice
+    # observations become PnP-like absolute anchors that pin the scale
+    # gauge the way the full-table solve's out-of-window rows did.
+    local_ba_obs: int = 4096
     loop_closure_min_score: float = 0.75
     pnp_min_inliers: int = 12
 

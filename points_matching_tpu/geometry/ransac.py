@@ -160,12 +160,18 @@ def _stratified_positions(
         w = slot_valid.astype(jnp.float32)
     else:
         lg = jnp.where(mask, logits, -jnp.inf)[slot_idx]
-        # shift so exp() cannot overflow; invalid slots → weight 0
-        lmax = jnp.max(jnp.where(slot_valid, lg, -jnp.inf))
+        # Shift by the PER-BUCKET max so exp() cannot overflow (ADVICE r4:
+        # a global max degenerates any bucket sitting > 60 nats below it
+        # to uniform-within-bucket weights — the draw is bucket-local, so
+        # only the within-bucket shift matters and it is distribution-
+        # exact).  Invalid slots → weight 0.
+        lgb = jnp.where(slot_valid, lg, -jnp.inf).reshape(S, bucket)
+        lmax = jnp.max(lgb, axis=-1, keepdims=True)          # [S, 1]
         lmax = jnp.where(jnp.isfinite(lmax), lmax, 0.0)
         w = jnp.where(
-            slot_valid, jnp.exp(jnp.clip(lg - lmax, -60.0, 0.0)), 0.0
-        )
+            slot_valid.reshape(S, bucket),
+            jnp.exp(jnp.clip(lgb - lmax, -60.0, 0.0)), 0.0
+        ).reshape(-1)
 
     cdf = jnp.cumsum(w.reshape(S, bucket), axis=-1)       # [S, bucket]
     total = cdf[:, -1]                                    # [S]

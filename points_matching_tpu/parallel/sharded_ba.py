@@ -142,6 +142,7 @@ def _sharded_sparse_ba_fn(mesh: Mesh, config: BAConfig, axis: str):
         uv=obs,
         obs_mask=obs,
         cam_fixed=rep,
+        lm_fixed=rep,
     )
     out_state_specs = in_state_specs
     stats_specs = SparseLMStats(

@@ -418,8 +418,16 @@ def run_distributed_slam(
         )
         fixed = jnp.logical_or(~jnp.asarray(cam_valid), jnp.arange(C_g) <= 1)
         ba_state = ba_state.replace(cam_fixed=fixed)
+        # The windowed-BA budget in SfMConfig.ba (6 LM × 16 PCG, rtol 1e-4)
+        # assumes a near-converged warm start; this one-shot merged global
+        # problem starts COLD, so when no explicit ba_config is given it
+        # gets an offline-scale budget instead of inheriting the window's.
         cfg = ba_config if ba_config is not None else dataclasses.replace(
-            config.ba, huber_delta=max(config.ba.huber_delta, 3.0)
+            config.ba,
+            huber_delta=max(config.ba.huber_delta, 3.0),
+            max_iterations=max(config.ba.max_iterations, 20),
+            pcg_iterations=max(config.ba.pcg_iterations, 50),
+            rtol=min(config.ba.rtol, 1e-6),
         )
         if mesh is not None and MODEL_AXIS in mesh.shape:
             out, ba_stats = distributed_bundle_adjust_sparse(

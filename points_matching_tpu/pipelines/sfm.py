@@ -460,49 +460,57 @@ def local_bundle_adjust(
     config: SfMConfig,
     window: int = 8,
 ) -> Tuple[SfMState, Array]:
-    """Windowed BA over the last ``window`` registered cameras (+ their
-    landmarks).  Cameras outside the window and the window's first camera
-    are gauge-fixed; landmark updates apply only to observed-in-window ones.
+    """Windowed BA over the last ``window`` registered cameras at a REDUCED
+    static observation capacity (``config.local_ba_obs`` rows).
+
+    The r4 probe measured the previous full-table form at 91% of the
+    13.1 ms frame cost: every call re-solved all ``max_observations``
+    (32 768) rows although the window constrains only the recent suffix.
+    Observations append in time order, so the window's measurements are
+    exactly the LAST rows of the table — one ``dynamic_slice`` extracts
+    them (no sort, no compaction scatter).
+
+    Gauge/anchoring: out-of-window cameras in the slice stay gauge-fixed
+    (the trick the full-table form used), and landmarks created BEFORE the
+    slice — whose older anchoring observations the slice no longer carries
+    — are held fixed via ``SparseBAState.lm_fixed``: their in-slice
+    observations act as PnP-like absolute constraints on the free cameras,
+    pinning the monocular scale gauge the out-of-slice rows used to pin.
+    Landmark slots are allocated append-only, so "created before the
+    slice" is exactly ``slot ≤ max(obs_lm[row < start])`` — one masked VPU
+    max-reduction, no scatter.
     """
     C = state.cam_mask.shape[0]
     L = state.X.shape[0]
+    O = state.obs_cam.shape[0]
+    Ow = min(config.local_ba_obs, O)
     first = jnp.maximum(state.num_cams - window, 0)
 
     in_win = jnp.logical_and(
         jnp.arange(C) >= first, jnp.arange(C) < state.num_cams
     )
-    # ALL observations constrain the system: out-of-window cameras are
-    # gauge-fixed but their measurements anchor shared landmarks.
-    # Restricting to in-window observations leaves the monocular scale
-    # gauge free and every BA quietly shrinks the map (observed: camera
-    # centers collapsing toward the origin over a 12-frame run).
-    # The sparse engine consumes the [O] observation lists directly —
-    # the [C, L] grid (128×8192 at default capacities, rebuilt every
-    # ba_every frames in the dense form) never exists.
+
+    start = jnp.clip(state.num_obs - Ow, 0, O - Ow)
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, Ow, axis=0)
+    pre = jnp.logical_and(state.obs_mask, jnp.arange(O) < start)
+    max_slot_pre = jnp.max(jnp.where(pre, state.obs_lm, -1))
+    lm_fixed = jnp.arange(L) <= max_slot_pre
+
     ba_state = make_sparse_ba_state(
-        state.poses, state.X, state.obs_cam, state.obs_lm, state.obs_uv,
-        state.obs_mask, num_fixed_cameras=0,
+        state.poses, state.X, sl(state.obs_cam), sl(state.obs_lm),
+        sl(state.obs_uv), sl(state.obs_mask), num_fixed_cameras=0,
     )
     # fix everything outside the window, the window's first camera, and
     # always cameras 0-1 (two fixed cameras pin the 7th, scale, gauge DOF)
     fixed = jnp.logical_or(~in_win, jnp.arange(C) <= first)
     fixed = jnp.logical_or(fixed, jnp.arange(C) <= 1)
-    ba_state = ba_state.replace(cam_fixed=fixed)
+    ba_state = ba_state.replace(cam_fixed=fixed, lm_fixed=lm_fixed)
     out, stats_ba = bundle_adjust_sparse(ba_state, K, config.ba)
 
-    lm_obs = (
-        jnp.zeros((L,), bool)
-        .at[jnp.clip(state.obs_lm, 0, L - 1)]
-        .max(state.obs_mask)
-    )
-    X_new = jnp.where(lm_obs[:, None], out.X, state.X)
-    poses_new = jax.tree.map(
-        lambda a, b: jnp.where(
-            in_win.reshape((C,) + (1,) * (a.ndim - 1)), b, a
-        ),
-        state.poses, out.poses,
-    )
-    return state.replace(poses=poses_new, X=X_new), stats_ba.final_cost
+    # cam_fixed / lm_fixed zero the respective updates EXACTLY inside the
+    # solver, so out.poses/out.X already equal the inputs on frozen rows —
+    # no write-back masking needed.
+    return state.replace(poses=out.poses, X=out.X), stats_ba.final_cost
 
 
 @functools.partial(

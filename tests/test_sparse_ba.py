@@ -307,3 +307,52 @@ def test_distributed_sparse_ba_sorted_layout():
     assert float(stats.final_cost) < 0.5 * float(stats.initial_cost)
     np.testing.assert_allclose(np.asarray(out.poses.t),
                                np.asarray(ref_out.poses.t), atol=5e-2)
+
+
+def test_lm_fixed_freezes_landmarks_exactly():
+    """``SparseBAState.lm_fixed`` (r5, the windowed-capacity local BA's
+    anchoring mechanism — pipelines/sfm.py local_bundle_adjust): frozen
+    landmarks must not move AT ALL (their V⁻¹ rows are zeroed, so dl is
+    exactly 0), their observations must still constrain cameras, and the
+    solve must still reduce cost on the free part."""
+    _, sparse, K = _problem_pair(seed=3, noise=0.3)
+    key = jax.random.PRNGKey(11)
+    sparse = sparse.replace(
+        X=sparse.X + 0.08 * jax.random.normal(key, sparse.X.shape)
+    )
+    L = sparse.num_landmarks
+    frozen = jnp.arange(L) < L // 2
+    st = sparse.replace(lm_fixed=frozen)
+    cfg = BAConfig(max_iterations=10, rtol=0.0, pcg_iterations=40)
+    out, stats = bundle_adjust_sparse(st, K, cfg)
+
+    # frozen rows: bitwise unchanged
+    np.testing.assert_array_equal(
+        np.asarray(out.X[: L // 2]), np.asarray(sparse.X[: L // 2])
+    )
+    # free rows must move and cost must drop (cameras + free landmarks)
+    assert float(jnp.abs(out.X[L // 2 :] - sparse.X[L // 2 :]).max()) > 0
+    assert float(stats.final_cost) < float(stats.initial_cost)
+
+    # with NO frozen rows the default state reproduces the old behavior
+    out_all, stats_all = bundle_adjust_sparse(sparse, K, cfg)
+    assert float(stats_all.final_cost) <= float(stats.final_cost) * 1.05
+
+
+def test_sorted_layout_auto_gates_on_problem_size(monkeypatch):
+    """ADVICE r4: 'auto' must fall back to scatter segment_sum when the
+    [C, O] one-hot would blow memory or the cumsum-diff error would grow
+    (large C*O or O) — sorted only below the thresholds, and an explicit
+    'sorted' request is always honored."""
+    from points_matching_tpu.ba import sparse as sp
+
+    cfg_auto = BAConfig(obs_layout="auto")
+    monkeypatch.setattr(
+        sp.jax, "devices", lambda: [type("D", (), {"platform": "tpu"})()]
+    )
+    assert sp._use_sorted_layout(cfg_auto, C=128, O=32768)
+    assert not sp._use_sorted_layout(cfg_auto, C=4096, O=4 * 1024 * 1024)
+    assert not sp._use_sorted_layout(cfg_auto, C=8, O=2 * 1024 * 1024)
+    assert sp._use_sorted_layout(
+        BAConfig(obs_layout="sorted"), C=4096, O=4 * 1024 * 1024
+    )
