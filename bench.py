@@ -380,7 +380,10 @@ def bench_tpu():
         matches = match_descriptors(
             Descriptors(data=a, mask=m), Descriptors(data=b, mask=m), mcfg
         )
-        q1 = jnp.take(pa, jnp.clip(matches.query_idx, 0, NKP - 1), axis=0)
+        # compact=False returns matches in query order (query_idx = arange)
+        # — no query-side gather; take(pa, arange) was measured as a real
+        # scalar-path gather (~1.5 µs/pair, r5 slice probe).
+        q1 = pa
         q2 = jnp.take(pb, jnp.clip(matches.train_idx, 0, NKP - 1), axis=0)
         est = ransac_fundamental(k, q1, q2, matches.mask, rcfg)
         return est.num_inliers

@@ -32,7 +32,7 @@ TARGET_GAP_S = 3.0
 
 def main():
     slices = sys.argv[1:] or [
-        "match", "gather", "sample", "solve", "score", "refit"]
+        "match", "gather", "sample", "solve", "fscore", "score", "refit"]
 
     import jax
     import jax.numpy as jnp
@@ -85,7 +85,11 @@ def main():
             m = do_match(a, b)
             if stage == "match":
                 return jnp.sum(m.mask.astype(jnp.float32))
-            q1 = jnp.take(pa, jnp.clip(m.query_idx, 0, NKP - 1), axis=0)
+            # compact=False returns matches in QUERY ORDER (query_idx =
+            # arange), so the query side needs no gather — production
+            # callers use pa directly (r5; the take(pa, arange) identity
+            # was measured as a real scalar-path gather).
+            q1 = pa
             q2 = jnp.take(pb, jnp.clip(m.train_idx, 0, NKP - 1), axis=0)
             if stage == "gather":
                 return jnp.sum(q1) * 1e-6 + jnp.sum(q2) * 1e-6
@@ -95,6 +99,18 @@ def main():
             F_h = solve_fn(sp1, sp2)
             if stage == "solve":
                 return jnp.sum(F_h) * 1e-3
+            if stage == "fscore":
+                # PRODUCTION scoring path (r5, VERDICT item 8): the fused
+                # Pallas counts kernel + best-F Sampson mask, no refit.
+                from points_matching_tpu.ops.pallas.ransac_kernel import (
+                    ransac_score_hypotheses)
+                counts = ransac_score_hypotheses(
+                    F_h, q1, q2, m.mask, rcfg.inlier_threshold)
+                best = jnp.argmax(counts)
+                d_best = sampson_distance(F_h[best], q1, q2)
+                inl = jnp.logical_and(
+                    d_best < rcfg.inlier_threshold**2, m.mask)
+                return jnp.sum(inl.astype(jnp.float32))
             d = sampson_distance(F_h, q1[None], q2[None])
             inl = jnp.logical_and(d < rcfg.inlier_threshold**2, m.mask[None])
             counts = jnp.sum(inl.astype(jnp.int32), axis=-1)

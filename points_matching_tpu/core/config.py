@@ -98,6 +98,17 @@ class RansacConfig:
     refit_iterations: int = 2      # refit/re-gate rounds after best model
     backend: str = "auto"          # 'auto' | 'xla' | 'pallas' — 'auto' uses
                                    # the fused Sampson-scoring kernel on TPU
+    score_mode: str = "fast"       # 'fast' | 'exact' — precision of the
+                                   # fused CONSENSUS-RANKING kernel only
+                                   # (the winner's inlier mask and the
+                                   # refit are always f32-exact): 'fast'
+                                   # uses single-pass bf16 MXU dots (count
+                                   # jitter ≤ ~4/512 near-threshold gates,
+                                   # measured; ranking-invariant on the
+                                   # real-image demo), 'exact' a manual
+                                   # 3-pass split with f32-reference count
+                                   # parity at ~2× kernel cost (r5
+                                   # benchmarks/probe/score_variants.py)
 
 
 @dataclasses.dataclass(frozen=True)

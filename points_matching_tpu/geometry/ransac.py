@@ -155,17 +155,36 @@ def _stratified_positions(
     # slots ≥ n are virtual padding → invalid
     slot_idx = jnp.minimum(perm, n - 1)
     slot_valid = jnp.logical_and(perm < n, mask[slot_idx])
+    slot_logits = None if logits is None else \
+        jnp.where(mask, logits, -jnp.inf)[slot_idx]
+    j = _bucket_draws(k_u, slot_valid, slot_logits, num_hypotheses, S, bucket)
+    return j, slot_idx, bucket
 
-    if logits is None:
+
+def _bucket_draws(
+    k_u: Array,
+    slot_valid: Array,
+    slot_logits: Optional[Array],
+    num_hypotheses: int,
+    S: int,
+    bucket: int,
+) -> Array:
+    """Within-bucket inverse-CDF draws given per-slot validity/logits
+    (slots already in bucket-permuted order).  Split out of
+    ``_stratified_positions`` so ``sample_minimal_points`` can supply
+    validity/logits from its fused table gather — the standalone
+    ``mask[slot_idx]`` bool gather runs element-at-a-time through the TPU
+    scalar path and was measured at ~4.5 µs/pair of the 11.8 µs/pair
+    sampling slice (r5 ``benchmarks/probe/sample_substeps.py``)."""
+    if slot_logits is None:
         w = slot_valid.astype(jnp.float32)
     else:
-        lg = jnp.where(mask, logits, -jnp.inf)[slot_idx]
         # Shift by the PER-BUCKET max so exp() cannot overflow (ADVICE r4:
         # a global max degenerates any bucket sitting > 60 nats below it
         # to uniform-within-bucket weights — the draw is bucket-local, so
         # only the within-bucket shift matters and it is distribution-
         # exact).  Invalid slots → weight 0.
-        lgb = jnp.where(slot_valid, lg, -jnp.inf).reshape(S, bucket)
+        lgb = jnp.where(slot_valid, slot_logits, -jnp.inf).reshape(S, bucket)
         lmax = jnp.max(lgb, axis=-1, keepdims=True)          # [S, 1]
         lmax = jnp.where(jnp.isfinite(lmax), lmax, 0.0)
         w = jnp.where(
@@ -180,7 +199,7 @@ def _stratified_positions(
     # (total = 0, cdf ≡ 0, u = 0) counts `bucket` and clips to the last slot
     j = jnp.sum((cdf[None] <= u[..., None]).astype(jnp.int32), axis=-1)
     j = jnp.minimum(j, bucket - 1)                        # [H, S]
-    return j, slot_idx, bucket
+    return j
 
 
 @f32_matmuls
@@ -210,13 +229,32 @@ def sample_minimal_points(
 
     Returns: tuple of [H, S, C_i] sampled rows, in table order.
     """
-    j, slot_idx, bucket = _stratified_positions(
-        key, mask, num_hypotheses, sample_size, logits
-    )
+    n = mask.shape[-1]
     S = sample_size
+    bucket = -(-n // S)
+    m = bucket * S
+
+    k_perm, k_u = jax.random.split(key)
+    perm = jax.random.permutation(k_perm, m).astype(jnp.int32)   # [m]
+    slot_idx = jnp.minimum(perm, n - 1)
+
     widths = [t.shape[-1] for t in tables]
-    table = jnp.concatenate(tables, axis=-1).astype(jnp.float32)  # [N, ΣC]
-    tab_b = table[slot_idx].reshape(S, bucket, -1)                # [S, b, C]
+    # ONE fused row gather for coordinates + validity (+ logits): separate
+    # mask[slot_idx] / logits[slot_idx] gathers run element-at-a-time on
+    # the TPU scalar path and were measured at ~4.5 µs/pair — riding them
+    # as extra f32 columns of the row gather is ~free
+    # (benchmarks/probe/sample_substeps.py, r5).
+    cols = list(tables) + [mask.astype(jnp.float32)[:, None]]
+    if logits is not None:
+        cols.append(jnp.where(mask, logits, 0.0).astype(jnp.float32)[:, None])
+    table = jnp.concatenate(cols, axis=-1).astype(jnp.float32)   # [N, ΣC+1(+1)]
+    gathered = table[slot_idx]                                   # [m, ·]
+    C = sum(widths)
+    slot_valid = jnp.logical_and(perm < n, gathered[:, C] > 0.5)
+    slot_logits = None if logits is None else \
+        jnp.where(slot_valid, gathered[:, C + 1], -jnp.inf)
+    j = _bucket_draws(k_u, slot_valid, slot_logits, num_hypotheses, S, bucket)
+    tab_b = gathered[:, :C].reshape(S, bucket, C)                # [S, b, C]
     onehot = (
         j[..., None] == jnp.arange(bucket, dtype=j.dtype)
     ).astype(jnp.float32)                                         # [H, S, b]
@@ -301,7 +339,8 @@ def ransac_fundamental(
         )
 
         counts = ransac_score_hypotheses(
-            F_h, p1, p2, mask, config.inlier_threshold
+            F_h, p1, p2, mask, config.inlier_threshold,
+            exact=(config.score_mode == "exact"),
         )
         counts = jnp.where(hyp_valid, counts, -1)
         best = jnp.argmax(counts)

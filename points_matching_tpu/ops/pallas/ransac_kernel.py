@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 
 
-def _score_kernel(f_row_ref, f_col_ref, p1_ref, p2_ref, bias_ref,
-                  counts_out, acc, *, tau2: float, eps: float):
+def _score_kernel(f_row_ref, f_col_ref, p1_ref, p2_ref, valid_ref,
+                  counts_out, acc, *, tau2: float, eps: float, exact: bool):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -45,28 +45,53 @@ def _score_kernel(f_row_ref, f_col_ref, p1_ref, p2_ref, bias_ref,
     P1 = p1_ref[:]             # [3, TN]  homogeneous p1ᵀ
     P2 = p2_ref[:]             # [3, TN]  homogeneous p2ᵀ
 
-    # precision=HIGHEST: at DEFAULT, TPU truncates these f32 operands to
-    # bf16; the Sampson residual r = p2ᵀFp1 is a near-cancellation of O(1)
-    # terms and bf16 products flip the inlier gate en masse — measured 69
-    # vs 326 inliers on the reference image pair (core/precision.py).  The
-    # contractions are K=3, so exactness costs nothing.
+    # Precision (r5 on-chip sweep, benchmarks/probe/score_variants.py):
+    # the original HIGHEST dots were 8 of the kernel's 12 µs/pair — the
+    # f32 emulation runs 6 MXU passes per dot.  exact=True spells out the
+    # 3-pass split by hand (hi/lo bf16 decomposition of BOTH operands,
+    # dropping only the lo·lo term, error ~2⁻³² relative — count parity
+    # with the f32 XLA reference measured exact; Mosaic rejects
+    # per-operand dot precision so this cannot be expressed as a
+    # precision flag).  exact=False uses the MXU's native single-pass
+    # bf16 path (~3× faster still): counts then jitter by a few
+    # near-threshold gates (measured ≤4/512), which is immaterial for
+    # CONSENSUS RANKING because the caller recomputes the winning
+    # hypothesis's inlier mask exactly (geometry/ransac.py d_best) — the
+    # r4 precision bug (69 vs 326 inliers) was an inexact final GATE,
+    # which no mode of this kernel reintroduces.
+    # precision pinned to DEFAULT explicitly: callers trace this kernel
+    # under the ambient @f32_matmuls HIGHEST context, which would silently
+    # re-impose 6-pass emulation in fast mode and is invalid on the bf16
+    # operands of the manual split (Mosaic 'Bad lhs type').
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT,
     )
-    a1 = dot(F9[:, 0:3], P1)   # (Fp1)₁
-    a2 = dot(F9[:, 3:6], P1)   # (Fp1)₂
-    a3 = dot(F9[:, 6:9], P1)   # (Fp1)₃
-    b1 = dot(Fc9[:, 0:3], P2)  # (Fᵀp2)₁
-    b2 = dot(Fc9[:, 3:6], P2)  # (Fᵀp2)₂
+    if exact:
+        def dot3(A, B):
+            ah = A.astype(jnp.bfloat16)
+            al = (A - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = B.astype(jnp.bfloat16)
+            bl = (B - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+    else:
+        dot3 = dot
+    a1 = dot3(F9[:, 0:3], P1)   # (Fp1)₁
+    a2 = dot3(F9[:, 3:6], P1)   # (Fp1)₂
+    a3 = dot3(F9[:, 6:9], P1)   # (Fp1)₃
+    b1 = dot3(Fc9[:, 0:3], P2)  # (Fᵀp2)₁
+    b2 = dot3(Fc9[:, 3:6], P2)  # (Fᵀp2)₂
 
     # r = p2ᵀ(Fp1): elementwise against the p2 rows (p2h[2] ≡ 1)
     r = a1 * P2[0:1, :] + a2 * P2[1:2, :] + a3
     denom = a1 * a1 + a2 * a2 + b1 * b1 + b2 * b2
-    d = (r * r) / jnp.maximum(denom, eps) + bias_ref[:]  # invalid cols → BIG
-    cnt = jnp.sum((d < tau2).astype(jnp.int32), axis=1, keepdims=True)
+    # multiply-compare form of d = r²/denom < τ² (no per-cell divide)
+    ok = jnp.logical_and(
+        r * r < tau2 * jnp.maximum(denom, eps), valid_ref[:] > 0
+    )
+    cnt = jnp.sum(ok.astype(jnp.int32), axis=1, keepdims=True)
 
     @pl.when(j == 0)
     def _():
@@ -91,7 +116,8 @@ def _pad_to(x: Array, n: int, axis: int, value=0.0) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("threshold", "tile_h", "tile_n", "interpret")
+    jax.jit, static_argnames=("threshold", "tile_h", "tile_n", "interpret",
+                              "exact")
 )
 def ransac_score_hypotheses(
     F_h: Array,
@@ -102,6 +128,7 @@ def ransac_score_hypotheses(
     tile_h: int = 128,
     tile_n: int = 512,
     interpret: bool = False,
+    exact: bool = True,
 ) -> Array:
     """Per-hypothesis inlier counts under the Sampson gate — fused on-chip.
 
@@ -111,6 +138,11 @@ def ransac_score_hypotheses(
       mask: [N] correspondence validity.
       threshold: inlier gate in pixels (compared against Sampson distance;
         the gate is ``d < threshold²`` — same as `geometry/ransac.py`).
+      exact: True → manual 3-pass bf16-split dots (count parity with the
+        f32 XLA reference); False → native single-pass bf16 MXU dots
+        (~2× faster kernel; counts jitter by a few near-threshold gates —
+        fine when the caller only ranks hypotheses and recomputes the
+        winner's mask exactly, see RansacConfig.score_mode).
 
     Returns counts [H] int32 —
     ``sum(sampson_distance(F_h, p1, p2) < threshold² & mask, axis=-1)``.
@@ -131,13 +163,13 @@ def ransac_score_hypotheses(
     p2h = jnp.concatenate([p2, ones], axis=-1)
     P1t = _pad_to(p1h.T, np_, 1)
     P2t = _pad_to(p2h.T, np_, 1)
-    valid = _pad_to(mask.astype(jnp.float32), np_, 0)
-    bias = jnp.where(valid > 0, 0.0, _BIG)[None, :]
+    valid = _pad_to(mask.astype(jnp.float32), np_, 0)[None, :]
 
     grid = (hp // tile_h, np_ // tile_n)
     counts = pl.pallas_call(
         functools.partial(
-            _score_kernel, tau2=float(threshold) ** 2, eps=1e-12
+            _score_kernel, tau2=float(threshold) ** 2, eps=1e-12,
+            exact=exact,
         ),
         grid=grid,
         in_specs=[
@@ -162,5 +194,5 @@ def ransac_score_hypotheses(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(F_row, F_col, P1t, P2t, bias)
+    )(F_row, F_col, P1t, P2t, valid)
     return counts[:h, 0]
