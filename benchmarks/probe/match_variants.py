@@ -139,6 +139,97 @@ def main():
     def step_pallas_gemm(a, b):
         return jnp.sum(gemm_only(a, b))
 
+    # --- packed-key top-2 (VERDICT r4 item 6): distance and column index
+    # share one int32 key (monotone sign-flip bitcast, low bits = column),
+    # so the argmin, the runner-up masking, and the cross-tile carries all
+    # run on a single array — 2 min-reductions, no masked re-read of d.
+    # Cost: the reported distance loses its idx_bits low mantissa bits
+    # (~6e-5 abs at unit-norm scale for 9 bits).
+    def _packed_kernel(q_ref, t_ref, t2_ref, d_out, i_out, b1s, b2s,
+                       *, idx_bits):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        low = (1 << idx_bits) - 1
+        q = q_ref[:]
+        d = t2_ref[:] - 2.0 * jax.lax.dot_general(
+            q.astype(jnp.bfloat16), t_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tt = d.shape[1]
+        u = jax.lax.bitcast_convert_type(d, jnp.int32)
+        key = u ^ ((u >> 31) & jnp.int32(0x7FFFFFFF))   # monotone in d
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * tt
+        kq = (key & jnp.int32(~low)) | col
+        k1 = jnp.min(kq, axis=1, keepdims=True)
+        masked = jnp.where(kq == k1, jnp.int32(0x7FFFFFFF), kq)
+        k2 = jnp.min(masked, axis=1, keepdims=True)
+
+        @pl.when(j == 0)
+        def _():
+            b1s[:] = k1
+            b2s[:] = k2
+
+        @pl.when(j > 0)
+        def _():
+            b1 = b1s[:]
+            b2 = b2s[:]
+            b1s[:] = jnp.minimum(b1, k1)
+            b2s[:] = jnp.minimum(jnp.maximum(b1, k1), jnp.minimum(b2, k2))
+
+        @pl.when(j == nj - 1)
+        def _():
+            q2 = jnp.sum(q * q, axis=1, keepdims=True)
+            for c, ks in ((0, b1s), (1, b2s)):
+                k = ks[:]
+                kv = k & jnp.int32(~low)
+                v = jax.lax.bitcast_convert_type(
+                    kv ^ ((kv >> 31) & jnp.int32(0x7FFFFFFF)), jnp.float32)
+                d_out[:, c:c + 1] = jnp.maximum(v + q2, 0.0)
+                i_out[:, c:c + 1] = k & jnp.int32(low)
+
+    @functools.partial(jax.jit, static_argnames=("tq", "tt"))
+    def packed_top2(q, t, t2, tq=512, tt=512):
+        n1, dd = q.shape
+        n2 = t.shape[0]
+        idx_bits = max((n2 - 1).bit_length(), 1)
+        return pl.pallas_call(
+            functools.partial(_packed_kernel, idx_bits=idx_bits),
+            grid=(n1 // tq, n2 // tt),
+            in_specs=[
+                pl.BlockSpec((tq, dd), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tt, dd), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tt), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tq, 2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tq, 2), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n1, 2), jnp.float32),
+                jax.ShapeDtypeStruct((n1, 2), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tq, 1), jnp.int32),
+                pltpu.VMEM((tq, 1), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n1 * n2 * dd,
+                bytes_accessed=4 * (n1 * dd + (n1 // tq) * n2 * dd + n1 * 4),
+                transcendentals=0,
+            ),
+        )(q, t, t2)
+
+    def step_pallas_packed(a, b):
+        t2 = jnp.sum(b * b, axis=-1)[None, :]
+        dist, idx = packed_top2(a, b, t2)
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 1] % 7).astype(jnp.float32)
+
     def step_pallas_raw(a, b):
         dist, idx = fused_l2_top2(a, b, mask, compute_dtype="bf16")
         return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 1] % 7).astype(jnp.float32)
@@ -159,6 +250,7 @@ def main():
         "pallas": make_step_match("pallas"),
         "pallas_raw": lambda a, b: jax.vmap(step_pallas_raw)(a, b).sum(),
         "pallas_gemm": lambda a, b: jax.vmap(step_pallas_gemm)(a, b).sum(),
+        "pallas_packed": lambda a, b: jax.vmap(step_pallas_packed)(a, b).sum(),
     }
     for tq in (128, 256, 512, 1024):
         for tt in (256, 512, 1024):
