@@ -60,6 +60,24 @@ def time_fn(fn, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def time_fn_dist(fn, reps):
+    """Per-rep times (median-of-N protocol, VERDICT r4 item 5: a single
+    draw of the 2-device leg spanned 0.64-0.93 efficiency across identical
+    binaries; the committed record must carry the distribution)."""
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)  # compile + warmup
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts
+
+
 def bench_all_pairs(n_dev, args):
     import jax
     import jax.numpy as jnp
@@ -125,8 +143,15 @@ def bench_distributed_ba(n_dev, args):
     fn = lambda: distributed_bundle_adjust_sparse(
         state, K, mesh, cfg
     )[1].final_cost
-    dt = time_fn(fn, args.iters)
-    return dt, args.ba_iterations / dt  # BA LM iterations per second
+    reps = max(args.iters, 5)
+    ts = time_fn_dist(fn, reps)
+    med = ts[len(ts) // 2]
+    return med, args.ba_iterations / med, {
+        "reps": reps,
+        "step_ms_min_med_max": [round(ts[0] * 1e3, 2),
+                                round(med * 1e3, 2),
+                                round(ts[-1] * 1e3, 2)],
+    }
 
 
 def main():
@@ -168,7 +193,9 @@ def main():
         for n_dev in sizes:
             if n_dev > avail:
                 continue
-            dt, thr = bench(n_dev, args)
+            out = bench(n_dev, args)
+            dt, thr = out[0], out[1]
+            extra = out[2] if len(out) > 2 else {}
             if n_dev == 1 or base is None:
                 base = dt
             eff = base / (n_dev * dt)
@@ -181,6 +208,17 @@ def main():
                 "step_ms": round(dt * 1e3, 2),
                 "efficiency_vs_1dev": round(eff, 3),
             }
+            # efficiency band from the per-rep time distribution (median
+            # is the headline; min/max bound the XLA-CPU sync noise)
+            tmm = extra.get("step_ms_min_med_max")
+            if tmm:
+                rec["reps"] = extra["reps"]
+                rec["step_ms_min_med_max"] = tmm
+                rec["efficiency_min_med_max"] = [
+                    round(base * 1e3 / (n_dev * tmm[2]), 3),
+                    round(eff, 3),
+                    round(base * 1e3 / (n_dev * tmm[0]), 3),
+                ]
             if fake_mesh:
                 rec["host_physical_cores"] = cores
                 rec["physical_efficiency_cap"] = round(

@@ -326,13 +326,23 @@ def build_sparse_normal_equations(
         ops = _scatter_ops(C, L, cam, lm)
     w = weights[:, None, None]
 
+    # Per-observation products as broadcast outer sums over the residual
+    # axis (k=2), NOT einsums: XLA lowers the [O]-batched k=2 einsum as
+    # 131k degenerate MXU matmuls — measured 25 ms of the 36 ms LM
+    # iteration at the 131k-obs working size (r5 on-chip stage probe); the
+    # broadcast form is ~3 VPU passes over [O, 36], is exact f32, and
+    # needs no matmul-precision handling at all.
     Jcw = Jc * w          # [O, 2, 6]
-    Uo = jnp.einsum("oki,okj->oij", Jcw, Jc)           # [O, 6, 6]
-    Vo = jnp.einsum("oki,okj->oij", Jl * w, Jl)        # [O, 3, 3]
-    Wo = jnp.einsum("oki,okj->oij", Jcw, Jl)           # [O, 6, 3]
+    Uo = (Jcw[:, 0, :, None] * Jc[:, 0, None, :]
+          + Jcw[:, 1, :, None] * Jc[:, 1, None, :])    # [O, 6, 6]
+    Jlw = Jl * w
+    Vo = (Jlw[:, 0, :, None] * Jl[:, 0, None, :]
+          + Jlw[:, 1, :, None] * Jl[:, 1, None, :])    # [O, 3, 3]
+    Wo = (Jcw[:, 0, :, None] * Jl[:, 0, None, :]
+          + Jcw[:, 1, :, None] * Jl[:, 1, None, :])    # [O, 6, 3]
     wr = r * weights[:, None]
-    bco = -jnp.einsum("oki,ok->oi", Jc, wr)            # [O, 6]
-    blo = -jnp.einsum("oki,ok->oi", Jl, wr)            # [O, 3]
+    bco = -(Jc[:, 0] * wr[:, 0:1] + Jc[:, 1] * wr[:, 1:2])   # [O, 6]
+    blo = -(Jl[:, 0] * wr[:, 0:1] + Jl[:, 1] * wr[:, 1:2])   # [O, 3]
 
     U = _preduce(ops.seg_cam(Uo), axis_name)
     V = _preduce(ops.seg_lm(Vo), axis_name)
@@ -364,12 +374,15 @@ def sparse_schur_matvec(
     ops = _eq_ops(eq, ops)
     U = _damp(eq.U, lam)
     Ux = jnp.einsum("cij,cj->ci", U, x)
+    # Broadcast mul-reduce forms below, not einsums: the [O]/[L]-batched
+    # tiny contractions lower to degenerate batched MXU matmuls (see
+    # build_sparse_normal_equations) — the broadcast form is VPU-exact.
     # t_l = Σ_{o: lm(o)=l} W_oᵀ x_{cam(o)}
-    Wtx = jnp.einsum("oij,oi->oj", eq.Wo, ops.expand_cam(x))  # [O, 3]
+    Wtx = jnp.sum(eq.Wo * ops.expand_cam(x)[:, :, None], axis=1)  # [O, 3]
     t = _preduce(ops.seg_lm(Wtx), axis_name)                  # [L, 3]
-    u = jnp.einsum("lij,lj->li", Vinv, t)                     # [L, 3]
+    u = jnp.sum(Vinv * t[:, None, :], axis=2)                 # [L, 3]
     # y_c = Σ_{o: cam(o)=c} W_o u_{lm(o)}
-    Wu = jnp.einsum("oij,oj->oi", eq.Wo, ops.gather_lm(u))    # [O, 6]
+    Wu = jnp.sum(eq.Wo * ops.gather_lm(u)[:, None, :], axis=2)  # [O, 6]
     y = _preduce(ops.seg_cam(Wu), axis_name)                  # [C, 6]
     return Ux - y
 
@@ -389,14 +402,14 @@ def _sparse_schur_prep(
     Vinv = _inv3(_damp(eq.V, lam))
     if lm_fixed is not None:
         Vinv = jnp.where(lm_fixed[:, None, None], 0.0, Vinv)
-    # g = bc − W V⁻¹ bl
-    Vb = jnp.einsum("lij,lj->li", Vinv, eq.bl)              # [L, 3]
-    WVb = jnp.einsum("oij,oj->oi", eq.Wo, ops.gather_lm(Vb))  # [O, 6]
+    # g = bc − W V⁻¹ bl  (broadcast forms — see sparse_schur_matvec)
+    Vb = jnp.sum(Vinv * eq.bl[:, None, :], axis=2)          # [L, 3]
+    WVb = jnp.sum(eq.Wo * ops.gather_lm(Vb)[:, None, :], axis=2)  # [O, 6]
     g = eq.bc - _preduce(ops.seg_cam(WVb), axis_name)
     # diag blocks: S_cc = U_c − Σ_{o: cam=c} W_o Vinv_{lm(o)} W_oᵀ
-    WVWo = jnp.einsum(
-        "oij,ojk,olk->oil", eq.Wo, ops.gather_lm(Vinv), eq.Wo
-    )
+    Vv = ops.gather_lm(Vinv)                                # [O, 3, 3]
+    WV = jnp.sum(eq.Wo[:, :, :, None] * Vv[:, None, :, :], axis=2)
+    WVWo = jnp.sum(WV[:, :, None, :] * eq.Wo[:, None, :, :], axis=3)
     S_diag = _damp(eq.U, lam) - _preduce(ops.seg_cam(WVWo), axis_name)
     Minv = jnp.linalg.inv(S_diag)
     return Vinv, g, Minv
@@ -444,9 +457,9 @@ def solve_sparse_schur_pcg(
 
     dc, r, p, rz = jax.lax.fori_loop(0, iterations, body, (x, r, p, rz))
     # back-substitute: dl = V⁻¹ (bl − Σ_{o: lm=l} W_oᵀ dc_{cam(o)})
-    Wtdc = jnp.einsum("oij,oi->oj", eq.Wo, ops.expand_cam(dc))
+    Wtdc = jnp.sum(eq.Wo * ops.expand_cam(dc)[:, :, None], axis=1)
     rhs = eq.bl - _preduce(ops.seg_lm(Wtdc), axis_name)
-    dl = jnp.einsum("lij,lj->li", Vinv, rhs)
+    dl = jnp.sum(Vinv * rhs[:, None, :], axis=2)
     return dc, dl
 
 
