@@ -105,7 +105,8 @@ def main():
                 from points_matching_tpu.ops.pallas.ransac_kernel import (
                     ransac_score_hypotheses)
                 counts = ransac_score_hypotheses(
-                    F_h, q1, q2, m.mask, rcfg.inlier_threshold)
+                    F_h, q1, q2, m.mask, rcfg.inlier_threshold,
+                    exact=(rcfg.score_mode == "exact"))
                 best = jnp.argmax(counts)
                 d_best = sampson_distance(F_h[best], q1, q2)
                 inl = jnp.logical_and(
