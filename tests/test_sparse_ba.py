@@ -71,16 +71,19 @@ def test_normal_equation_blocks_match_dense():
         sparse, rs, Jcs, Jls, sparse.obs_mask.astype(jnp.float32)
     )
 
-    # f32 summation order differs (segment_sum vs dense einsum); entries are
-    # O(1e5), so atol 1e-2 is still ~1e-7 relative
+    # f32 summation order differs (segment_sum vs dense einsum), and the
+    # sparse engine's ANALYTIC Jacobians (r5) associate the 1/z products
+    # differently than the dense engine's jacfwd chain — measured ~7e-5
+    # relative on the gradient blocks; rtol 3e-4 is still far below the
+    # normal equations' own f32 noise floor at these magnitudes
     np.testing.assert_allclose(np.asarray(eq.U), np.asarray(blocks.U),
-                               rtol=1e-5, atol=1e-2)
+                               rtol=3e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(eq.V), np.asarray(blocks.V),
-                               rtol=1e-5, atol=1e-2)
+                               rtol=3e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(eq.bc), np.asarray(blocks.bc),
-                               rtol=1e-5, atol=1e-2)
+                               rtol=3e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(eq.bl), np.asarray(blocks.bl),
-                               rtol=1e-5, atol=1e-2)
+                               rtol=3e-4, atol=1e-2)
 
     # implicit Schur matvec parity against the dense form
     lam = jnp.asarray(1e-3)
@@ -356,3 +359,31 @@ def test_sorted_layout_auto_gates_on_problem_size(monkeypatch):
     assert sp._use_sorted_layout(
         BAConfig(obs_layout="sorted"), C=4096, O=4 * 1024 * 1024
     )
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """The closed-form residual Jacobians (r5 — replacing the vmapped
+    jacfwd chain) must match the forward-mode reference to rounding,
+    including the z-clamp gate for points at/behind the camera plane."""
+    from points_matching_tpu.ba.sparse import (
+        _sparse_residuals_and_jacobians_jacfwd,
+        sparse_residuals,
+        sparse_residuals_and_jacobians,
+    )
+
+    _, sparse, K = _problem_pair(seed=3, noise=0.3)
+    # push a few landmarks behind the camera to exercise the clamp branch
+    sparse = sparse.replace(
+        X=sparse.X.at[:3].set(jnp.asarray([[0.0, 0.0, -5.0]] * 3))
+    )
+    r_a, Jc_a, Jl_a = sparse_residuals_and_jacobians(sparse, K)
+    r_f, Jc_f, Jl_f = _sparse_residuals_and_jacobians_jacfwd(sparse, K)
+    np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_f),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jc_a), np.asarray(Jc_f),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Jl_a), np.asarray(Jl_f),
+                               rtol=1e-5, atol=1e-3)
+    # residual-only helper agrees too
+    np.testing.assert_allclose(np.asarray(sparse_residuals(sparse, K)),
+                               np.asarray(r_f), rtol=1e-5, atol=1e-4)
