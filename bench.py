@@ -367,7 +367,7 @@ def bench_tpu():
     from points_matching_tpu.core.config import MatcherConfig, RansacConfig
     from points_matching_tpu.core.types import Descriptors
     from points_matching_tpu.geometry.ransac import ransac_fundamental
-    from points_matching_tpu.ops.matching import match_descriptors
+    from points_matching_tpu.ops.matching import match_descriptors_points
 
     # compact=False: RANSAC is mask-aware, so the dense-prefix compaction
     # (a scalar-unit scatter, ~6 µs/pair) is skipped — the production
@@ -378,15 +378,14 @@ def bench_tpu():
 
     def per_pair(a, b, pa, pb, k):
         m = jnp.ones((NKP,), bool)
-        matches = match_descriptors(
-            Descriptors(data=a, mask=m), Descriptors(data=b, mask=m), mcfg
+        # query side needs no gather (query-order matches); the train-side
+        # point rides out of the fused matching kernel (r5 — the explicit
+        # pb[train_idx] gather was ~3.3 µs/pair on the scalar path).
+        matches, q2 = match_descriptors_points(
+            Descriptors(data=a, mask=m), Descriptors(data=b, mask=m),
+            pb, mcfg,
         )
-        # compact=False returns matches in query order (query_idx = arange)
-        # — no query-side gather; take(pa, arange) was measured as a real
-        # scalar-path gather (~1.5 µs/pair, r5 slice probe).
-        q1 = pa
-        q2 = jnp.take(pb, jnp.clip(matches.train_idx, 0, NKP - 1), axis=0)
-        est = ransac_fundamental(k, q1, q2, matches.mask, rcfg)
+        est = ransac_fundamental(k, pa, q2, matches.mask, rcfg)
         return est.num_inliers
 
     def step_mean(a, b, pa, pb, ks):

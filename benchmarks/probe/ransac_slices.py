@@ -80,17 +80,21 @@ def main():
             Descriptors(data=a, mask=mask1), Descriptors(data=b, mask=mask1),
             mcfg)
 
+    from points_matching_tpu.ops.matching import match_descriptors_points
+    from points_matching_tpu.core.types import Descriptors as _D
+
     def upto(stage):
         def per_pair(a, b, pa, pb, k):
-            m = do_match(a, b)
             if stage == "match":
+                m = do_match(a, b)
                 return jnp.sum(m.mask.astype(jnp.float32))
-            # compact=False returns matches in QUERY ORDER (query_idx =
-            # arange), so the query side needs no gather — production
-            # callers use pa directly (r5; the take(pa, arange) identity
-            # was measured as a real scalar-path gather).
+            # query side is gather-free (query-order matches); train-side
+            # point rides out of the fused matching kernel
+            # (match_descriptors_points, r5 — the explicit pb[train_idx]
+            # gather was ~3.3 µs/pair on the scalar path).
+            m, q2 = match_descriptors_points(
+                _D(data=a, mask=mask1), _D(data=b, mask=mask1), pb, mcfg)
             q1 = pa
-            q2 = jnp.take(pb, jnp.clip(m.train_idx, 0, NKP - 1), axis=0)
             if stage == "gather":
                 return jnp.sum(q1) * 1e-6 + jnp.sum(q2) * 1e-6
             sp1, sp2 = sample_minimal_points(k, m.mask, HYP, 8, (q1, q2))

@@ -276,6 +276,73 @@ def match_descriptors(
     )
 
 
+def match_descriptors_points(
+    d1: Descriptors,
+    d2: Descriptors,
+    t_points: Array,
+    config: MatcherConfig = MatcherConfig(),
+) -> Tuple[Matches, Array]:
+    """Query-order 1-NN matching + the matched TRAIN POINT per query row.
+
+    Hot-path companion to ``match_descriptors(compact=False)``: the
+    caller-side ``t_points[train_idx]`` row gather runs element-at-a-time
+    on the TPU scalar path (measured ~3.3 µs/pair of the 17 µs two-view
+    step, r5 ``benchmarks/probe/ransac_slices.py``); on the Pallas path
+    the point rides out of the matching kernel as a fused one-hot dot
+    (``fused_l2_top2_points``).  Supported fast configuration: metric
+    'l2', no cross-check, no compaction; anything else falls back to
+    ``match_descriptors`` + an explicit gather.
+
+    Returns (Matches in query order, pts [N1, P] with
+    ``pts[i] == t_points[train_idx[i]]``; masked rows carry arbitrary
+    finite values, same as the clip-indexed gather this replaces).
+    """
+    fast = (
+        config.metric == "l2"
+        and not config.cross_check
+        and not config.compact
+        and config.filter in ("ratio", "threshold", "none")
+        and _use_pallas_path(d1, d2, config)
+    )
+    if not fast:
+        m = match_descriptors(d1, d2, config)
+        n2 = t_points.shape[0]
+        pts = jnp.take(
+            t_points, jnp.clip(m.train_idx, 0, n2 - 1), axis=0
+        )
+        return m, pts
+
+    from points_matching_tpu.ops.pallas.matching_kernel import (
+        fused_l2_top2_points,
+    )
+
+    dist, idx, pts = fused_l2_top2_points(
+        d1.data, d2.data, d2.mask, t_points,
+        compute_dtype=config.compute_dtype,
+    )
+    dist = jnp.where(d1.mask[..., None], dist, _BIG)
+    best = dist[..., 0]
+    best_idx = idx[..., 0]
+    valid = jnp.logical_and(d1.mask, best < _BIG / 2)
+    best_reported = jnp.sqrt(best)
+    second_reported = jnp.sqrt(dist[..., 1])
+    if config.filter == "ratio":
+        keep = best_reported < config.ratio * jnp.maximum(second_reported,
+                                                          1e-12)
+    elif config.filter == "threshold":
+        keep = best_reported < config.threshold
+    else:
+        keep = jnp.ones_like(valid)
+    keep = jnp.logical_and(keep, valid)
+    m = Matches(
+        query_idx=jnp.arange(d1.capacity, dtype=jnp.int32),
+        train_idx=jnp.where(keep, best_idx.astype(jnp.int32), 0),
+        distance=jnp.where(keep, best_reported, 0.0),
+        mask=keep,
+    )
+    return m, pts
+
+
 def match_stats(m: Matches) -> Tuple[Array, Array]:
     """(min, max) distance over valid matches — the reference's min/max scan
     (``main.cpp:49-59``), including its min=1 / max=0 initialization."""

@@ -318,3 +318,58 @@ def test_fused_l2_top2_all_train_masked_out_but_some():
     dist, idx = fused_l2_top2(q, t, t_mask, interpret=True)
     np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.full(32, 5))
     assert np.all(np.asarray(dist[:, 1]) > 1e20)  # runner-up is the +inf pad
+
+
+def test_fused_l2_top2_points_matches_gather():
+    """The fused matched-point output (r5 — replaces the caller-side
+    p2[train_idx] scalar-path gather) must equal the explicit gather of
+    the returned 1-NN indices, to f32 rounding (3-term bf16-split dot)."""
+    from points_matching_tpu.ops.pallas.matching_kernel import (
+        fused_l2_top2, fused_l2_top2_points,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    n1, n2 = 300, 450
+    q = jax.random.normal(k1, (n1, 64))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = jax.random.normal(k2, (n2, 64))
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t_mask = jnp.arange(n2) < (n2 - 17)
+    t_pts = jax.random.uniform(k3, (n2, 2), minval=0.0, maxval=993.0)
+
+    d0, i0 = fused_l2_top2(q, t, t_mask, interpret=True)
+    d1, i1, pts = fused_l2_top2_points(q, t, t_mask, t_pts, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+    ref = np.asarray(t_pts)[np.asarray(i1[:, 0])]
+    np.testing.assert_allclose(np.asarray(pts), ref, atol=1e-4)
+
+
+def test_match_descriptors_points_fallback_agrees():
+    """The ops-level wrapper's XLA fallback must produce the same matches
+    and gathered points as match_descriptors + take."""
+    from points_matching_tpu.core.config import MatcherConfig
+    from points_matching_tpu.ops.matching import (
+        match_descriptors, match_descriptors_points,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    n = 200
+    q = jax.random.normal(k1, (n, 64))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = q + 0.1 * jax.random.normal(k2, (n, 64))
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    pts = jax.random.uniform(k3, (n, 2), maxval=640.0)
+    mask = jnp.ones((n,), bool)
+    cfg = MatcherConfig(metric="l2", filter="ratio", ratio=0.85,
+                        compact=False, backend="xla")
+    m_ref = match_descriptors(Descriptors(data=q, mask=mask),
+                              Descriptors(data=t, mask=mask), cfg)
+    m, got = match_descriptors_points(
+        Descriptors(data=q, mask=mask), Descriptors(data=t, mask=mask),
+        pts, cfg)
+    np.testing.assert_array_equal(np.asarray(m.mask), np.asarray(m_ref.mask))
+    np.testing.assert_array_equal(np.asarray(m.train_idx),
+                                  np.asarray(m_ref.train_idx))
+    ref = np.asarray(pts)[np.clip(np.asarray(m_ref.train_idx), 0, n - 1)]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
