@@ -634,8 +634,15 @@ def bench_all_pairs(n_img=1024, nkp=256, dim=64):
             sim = jnp.einsum("qd,ntd->nqt", dquery, db,
                              preferred_element_type=jnp.float32)
             d2 = jnp.maximum(2.0 - 2.0 * sim, 0.0)
-            top2 = -jax.lax.top_k(-d2, 2)[0]          # [n, q, 2]
-            good = top2[..., 0] < (RATIO**2) * top2[..., 1]
+            # argmin-based top-2 (lax.top_k = bitonic sort on TPU; this is
+            # three O(N) passes — same as parallel/all_pairs.py)
+            best = jnp.min(d2, axis=-1)
+            i1 = jnp.argmin(d2, axis=-1)
+            masked = jnp.where(
+                jnp.arange(d2.shape[-1]) == i1[..., None], 1e30, d2
+            )
+            second = jnp.min(masked, axis=-1)
+            good = best < (RATIO**2) * second
             return jnp.sum(good.astype(jnp.float32), axis=-1)  # [n]
 
         scores = jax.vmap(one_query)(dqb)  # [TILE, n_img]

@@ -50,9 +50,16 @@ def _pair_scores_block(
     invalid = ~qm[:, None, :, None] | ~tm[None, :, None, :]
     d2 = jnp.where(invalid, _BIG, d2)
 
-    # top-2 over the train-keypoint axis for the ratio test
-    neg2, _ = lax.top_k(-d2, 2)  # [Q, T, K, 2]
-    best, second = -neg2[..., 0], -neg2[..., 1]
+    # top-2 over the train-keypoint axis for the ratio test: two masked
+    # min-reductions — lax.top_k lowers to a full O(N log² N) bitonic sort
+    # of the row on TPU; the argmin form is three O(N) VPU passes (same
+    # trick as ops/matching._argmin_top2; duplicate minima still yield
+    # second == best, which the ratio gate must see)
+    best = jnp.min(d2, axis=-1)
+    i1 = jnp.argmin(d2, axis=-1)
+    kl = d2.shape[-1]
+    masked = jnp.where(jnp.arange(kl) == i1[..., None], _BIG, d2)
+    second = jnp.min(masked, axis=-1)
     ok = (best < ratio * ratio * second) & (best < _BIG / 2) & qm[:, None, :]
     return jnp.sum(ok.astype(jnp.int32), axis=-1)  # [Q, T]
 
