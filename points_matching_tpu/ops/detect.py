@@ -34,32 +34,66 @@ from points_matching_tpu.core.types import Keypoints
 # Filters
 # ---------------------------------------------------------------------------
 
-def _gaussian_kernel1d(sigma: float, radius: int, order: int = 0) -> Array:
-    """1-D Gaussian (order 0), first (1) or second (2) derivative kernel."""
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    g = jnp.exp(-0.5 * (x / sigma) ** 2)
-    g = g / jnp.sum(g)
+import numpy as np
+
+
+def _gaussian_kernel1d(sigma: float, radius: int, order: int = 0):
+    """1-D Gaussian (order 0), first (1) or second (2) derivative kernel.
+
+    Returns a NUMPY array: the taps are trace-time constants, so the
+    unrolled shift-FMA convolution below folds them into one fused XLA
+    elementwise kernel instead of threading device scalars through it.
+    """
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    g = g / np.sum(g)
     if order == 0:
         return g
     if order == 1:
-        return g * (-x / sigma**2)
+        return (g * (-x / sigma**2)).astype(np.float32)
     if order == 2:
-        return g * ((x**2 - sigma**2) / sigma**4)
+        return (g * ((x**2 - sigma**2) / sigma**4)).astype(np.float32)
     raise ValueError(order)
 
 
-def _conv_sep(img: Array, ky: Array, kx: Array) -> Array:
-    """Separable 2-D convolution of [H, W] with 1-D kernels (SAME padding).
+def _conv1d_axis(img: Array, k: np.ndarray, axis: int) -> Array:
+    """SAME-zero-padded 1-D correlation along ``axis`` as an unrolled
+    static-slice FMA chain.
 
-    Lowered as two ``lax.conv_general_dilated`` calls — XLA maps these onto
-    the hardware convolution path.
+    ``lax.conv_general_dilated`` with N=C=1 was measured at 225 of the
+    237 ms per 993×660 Hessian-pyramid detection (r5 on-chip stage probe)
+    — the single-channel conv lowering is pathological on TPU.  The same
+    taps as Σᵢ kᵢ·slice(pad(img))ᵢ are a pure elementwise DAG that XLA
+    fuses into a handful of VPU passes.  Identical math (correlation, no
+    kernel flip — matching lax.conv's convention), identical SAME-zero
+    edge behavior; only the f32 summation order differs.
     """
-    x = img[None, None, :, :]  # NCHW
-    ky2 = ky[None, None, :, None]
-    kx2 = kx[None, None, None, :]
-    x = lax.conv_general_dilated(x, ky2, (1, 1), [( (ky.shape[0] - 1) // 2,) * 2, (0, 0)])
-    x = lax.conv_general_dilated(x, kx2, (1, 1), [(0, 0), ((kx.shape[0] - 1) // 2,) * 2])
-    return x[0, 0]
+    n = len(k)
+    R = (n - 1) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (R, R)
+    p = jnp.pad(img, pad)
+    H, W = img.shape
+    acc = None
+    for i in range(n):
+        w = float(k[i])
+        if w == 0.0:
+            continue
+        sl = (
+            p[i:i + H, :] if axis == 0 else p[:, i:i + W]
+        )
+        term = w * sl
+        acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros_like(img)
+    return acc
+
+
+def _conv_sep(img: Array, ky: np.ndarray, kx: np.ndarray) -> Array:
+    """Separable 2-D correlation of [H, W] with 1-D kernels (SAME padding,
+    zero edges) — column pass then row pass, both as shift-FMA chains."""
+    return _conv1d_axis(_conv1d_axis(img, np.asarray(ky), 0),
+                        np.asarray(kx), 1)
 
 
 def gaussian_blur(img: Array, sigma: float) -> Array:
@@ -243,14 +277,36 @@ def detect_keypoints(
     in_border = (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
     valid = is_peak & in_border & (resp > thresh)
 
-    score_flat = jnp.where(valid, resp, -jnp.inf).reshape(-1)
+    score_m = jnp.where(valid, resp, -jnp.inf)
     k = config.max_keypoints
-    top_scores, top_idx = lax.top_k(score_flat, k)
-
-    s_idx = top_idx // (H * W)
-    rem = top_idx % (H * W)
-    y_idx = rem // W
-    x_idx = rem % W
+    if config.nms_radius >= 1:
+        # Exact 4× shrink of the top-k candidate set before the sort:
+        # spatial NMS with radius ≥ 1 means any two cells of a 2×2 block
+        # are 8-neighbors, so at most ONE peak survives per block — a
+        # per-block max/argmax loses nothing.  lax.top_k is a bitonic
+        # sort of the whole volume on TPU (~8-10 of the 15 ms detection,
+        # r5 probe); sorting S·⌈H/2⌉·⌈W/2⌉ instead is ~4× cheaper.
+        S = score_m.shape[0]
+        H2, W2 = -(-H // 2), -(-W // 2)
+        p = jnp.pad(score_m, ((0, 0), (0, 2 * H2 - H), (0, 2 * W2 - W)),
+                    constant_values=-jnp.inf)
+        blk = p.reshape(S, H2, 2, W2, 2).transpose(0, 1, 3, 2, 4)
+        blk = blk.reshape(S, H2, W2, 4)
+        bmax = jnp.max(blk, axis=-1)
+        barg = jnp.argmax(blk, axis=-1).astype(jnp.int32)
+        top_scores, bix = lax.top_k(bmax.reshape(-1), k)
+        s_idx = bix // (H2 * W2)
+        rem = bix % (H2 * W2)
+        la = barg.reshape(-1)[bix]
+        y_idx = (rem // W2) * 2 + (la >> 1)
+        x_idx = (rem % W2) * 2 + (la & 1)
+        top_idx = s_idx * (H * W) + y_idx * W + x_idx
+    else:
+        top_scores, top_idx = lax.top_k(score_m.reshape(-1), k)
+        s_idx = top_idx // (H * W)
+        rem = top_idx % (H * W)
+        y_idx = rem // W
+        x_idx = rem % W
 
     dx, dy = _subpixel_offsets(resp)
     dxv = dx.reshape(-1)[top_idx]
