@@ -29,13 +29,39 @@ def bilinear_sample(image: Array, xy: Array, fill: float = 0.0) -> Array:
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    if not has_c:
+        # Packed-corner gather: TPU gathers run element-at-a-time on the
+        # scalar path, so 4 separate corner taps cost 4 scalar gathers per
+        # sample.  Packing the 2×2 neighborhood into an [H, W, 4] tensor
+        # (three shifted views — cheap VPU work) turns each sample into
+        # ONE contiguous [1, 1, 4]-slice gather (r5: descriptor extraction
+        # measured 14.3 → 8 ms-class at 512 kp × 484 samples).
+        pad = jnp.pad(image, ((0, 1), (0, 1)))
+        corners = jnp.stack(
+            [pad[:-1, :-1], pad[:-1, 1:], pad[1:, :-1], pad[1:, 1:]],
+            axis=-1,
+        )  # [H, W, 4] = (v00, v01, v10, v11)
+        yc = jnp.clip(y0i, 0, H - 1)
+        xc = jnp.clip(x0i, 0, W - 1)
+        v = corners[yc, xc]                       # [..., 4]
+
+        def inb(yi, xi):
+            return (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
+
+        v00 = jnp.where(inb(y0i, x0i), v[..., 0], fill)
+        v01 = jnp.where(inb(y0i, x0i + 1), v[..., 1], fill)
+        v10 = jnp.where(inb(y0i + 1, x0i), v[..., 2], fill)
+        v11 = jnp.where(inb(y0i + 1, x0i + 1), v[..., 3], fill)
+        top = v00 * (1 - wx) + v01 * wx
+        bot = v10 * (1 - wx) + v11 * wx
+        return top * (1 - wy) + bot * wy
+
     def tap(yi, xi):
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
         v = image[yc, xc]
         inb = (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
-        if has_c:
-            inb = inb[..., None]
+        inb = inb[..., None]
         return jnp.where(inb, v, fill)
 
     v00 = tap(y0i, x0i)
@@ -43,9 +69,8 @@ def bilinear_sample(image: Array, xy: Array, fill: float = 0.0) -> Array:
     v10 = tap(y0i + 1, x0i)
     v11 = tap(y0i + 1, x0i + 1)
 
-    if has_c:
-        wx = wx[..., None]
-        wy = wy[..., None]
+    wx = wx[..., None]
+    wy = wy[..., None]
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
