@@ -92,6 +92,7 @@ SECTION_TIMEOUT_S = {
     "matching_only": 1200,
     "ba": 1200,
     "ba_sparse": 1500,
+    "e2e": 1500,
     "all_pairs": 1200,
     "sfm": 1500,
     "scaling": 1500,
@@ -604,6 +605,83 @@ def bench_ba_sparse(cameras=64, landmarks=16384, obs_per_landmark=8):
     )
 
 
+def bench_e2e_pipeline(height=660, width=993, n_imgs=8):
+    """Full IMAGE→F two-view pipeline — the reference's actual program
+    (decode aside): Hessian detect (512 kp) → SURF-class describe → ratio
+    match → batched RANSAC F, on reference-sized images (993×660).
+
+    New in r5: the frontend was never benched (the head section consumes
+    precomputed descriptors) and hid a 237 ms/image detector; after the
+    shift-FMA conv + block-top-k + lattice-shared-Haar + packed-corner
+    rewrites the chain measures ~27 ms/pair.  Methodology: a scanned
+    chain of dependent pipeline calls per dispatch, slope-timed like the
+    other sections.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from points_matching_tpu.core.config import (
+        MatcherConfig, RansacConfig, surf_parity_config,
+    )
+    from points_matching_tpu.pipelines.two_view import two_view_pipeline
+
+    base = surf_parity_config()
+    cfg = dataclasses.replace(
+        base,
+        matcher=MatcherConfig(metric="l2", filter="ratio", ratio=0.85),
+        ransac=RansacConfig(),
+        use_ransac=True,
+    )
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(
+        128.0 + 40.0 * rng.randn(n_imgs, height, width).astype(np.float32)
+    )
+    CH = 8
+
+    @jax.jit
+    def run_chunk(imgs, acc0, cid):
+        def body(carry, i):
+            acc = carry
+            a = imgs[i % n_imgs] + acc * 1e-12
+            b = imgs[(i + 1) % n_imgs]
+            k = jax.random.fold_in(jax.random.PRNGKey(0), cid * CH + i)
+            r = two_view_pipeline(a, b, k, cfg)
+            return acc + r.estimate.num_inliers.astype(jnp.float32) * 1e-6, None
+
+        acc, _ = lax.scan(body, acc0, jnp.arange(CH), length=CH)
+        return acc
+
+    def run(k):
+        acc = jnp.float32(0.0)
+        for i in range(k):
+            acc = run_chunk(imgs, acc, jnp.int32(i))
+        return float(acc)
+
+    _log("e2e: compiling...")
+    run(1)
+    _log("e2e: compile done")
+    t_s, _ = _fetch_timed(lambda: run(1))
+    t_probe, _ = _fetch_timed(lambda: run(3), reps=1)
+    per_chunk = max((t_probe - t_s) / 2.0, 1e-3)
+    k_long = min(1 + max(3, int(TARGET_GAP_S / per_chunk)), 400)
+    t_l, _ = _fetch_timed(lambda: run(k_long))
+    gap = t_l - t_s
+    if gap < NOISE_FLOOR_S:
+        raise RuntimeError(f"e2e slope gap {gap:.3f}s below the noise floor")
+    pairs_per_sec = (k_long - 1) * CH / gap
+    return dict(
+        pairs_per_sec=pairs_per_sec,
+        ms_per_pair=1e3 / pairs_per_sec,
+        image=f"{width}x{height}",
+        keypoints=512,
+        chunks=[1, k_long],
+        gap_s=gap,
+    )
+
+
 def bench_all_pairs(n_img=1024, nkp=256, dim=64):
     """BASELINE config 1 scale: all-pairs matching over a 1k-image set.
 
@@ -977,6 +1055,7 @@ _SECTIONS = {
     "matching_only": lambda: bench_matching_only(),
     "ba": lambda: bench_ba(),
     "ba_sparse": lambda: bench_ba_sparse(),
+    "e2e": lambda: bench_e2e_pipeline(),
     "all_pairs": lambda: bench_all_pairs(),
     "sfm": lambda: bench_sfm_frames(),
     "scaling": lambda: bench_scaling(),
@@ -1104,6 +1183,10 @@ def main():
                     ba.get("fraction_of_roofline"), 5
                 ),
             } if ba else None,
+            "e2e_image_to_F": sections.get("e2e") and {
+                k: rnd(v, 2) if isinstance(v, float) else v
+                for k, v in sections["e2e"].items()
+            },
             "all_pairs_1k": sections.get("all_pairs") and {
                 k: rnd(v, 3) if isinstance(v, float) else v
                 for k, v in sections["all_pairs"].items()
