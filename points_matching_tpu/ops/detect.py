@@ -24,6 +24,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array, lax
 
 from points_matching_tpu.core.config import DetectorConfig
@@ -33,9 +34,6 @@ from points_matching_tpu.core.types import Keypoints
 # ---------------------------------------------------------------------------
 # Filters
 # ---------------------------------------------------------------------------
-
-import numpy as np
-
 
 def _gaussian_kernel1d(sigma: float, radius: int, order: int = 0):
     """1-D Gaussian (order 0), first (1) or second (2) derivative kernel.
@@ -280,12 +278,17 @@ def detect_keypoints(
     score_m = jnp.where(valid, resp, -jnp.inf)
     k = config.max_keypoints
     if config.nms_radius >= 1:
-        # Exact 4× shrink of the top-k candidate set before the sort:
-        # spatial NMS with radius ≥ 1 means any two cells of a 2×2 block
-        # are 8-neighbors, so at most ONE peak survives per block — a
-        # per-block max/argmax loses nothing.  lax.top_k is a bitonic
-        # sort of the whole volume on TPU (~8-10 of the 15 ms detection,
-        # r5 probe); sorting S·⌈H/2⌉·⌈W/2⌉ instead is ~4× cheaper.
+        # 4× shrink of the top-k candidate set before the sort: spatial
+        # NMS with radius ≥ 1 means any two cells of a 2×2 block are
+        # 8-neighbors, so for DISTINCT responses at most one peak
+        # survives per block.  The one exception: the NMS compare is
+        # non-strict (resp >= window max), so an exactly-tied adjacent
+        # plateau lets multiple equal peaks through, and the per-block
+        # max keeps one of them — deduplicating equal-score keypoints
+        # 1 px apart, which is the desirable outcome (the full-volume
+        # top_k kept all copies).  lax.top_k is a bitonic sort of the
+        # whole volume on TPU (~8-10 of the 15 ms detection, r5 probe);
+        # sorting S·⌈H/2⌉·⌈W/2⌉ instead is ~4× cheaper.
         S = score_m.shape[0]
         H2, W2 = -(-H // 2), -(-W // 2)
         p = jnp.pad(score_m, ((0, 0), (0, 2 * H2 - H), (0, 2 * W2 - W)),

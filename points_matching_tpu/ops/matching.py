@@ -294,8 +294,9 @@ def match_descriptors_points(
     ``match_descriptors`` + an explicit gather.
 
     Returns (Matches in query order, pts [N1, P] with
-    ``pts[i] == t_points[train_idx[i]]``; masked rows carry arbitrary
-    finite values, same as the clip-indexed gather this replaces).
+    ``pts[i] == t_points[train_idx[i]]`` on EVERY row — filtered rows
+    report train_idx 0 and t_points[0], identical on the fused and
+    fallback paths).
     """
     fast = (
         config.metric == "l2"
@@ -334,6 +335,11 @@ def match_descriptors_points(
     else:
         keep = jnp.ones_like(valid)
     keep = jnp.logical_and(keep, valid)
+    # keep pts aligned with the reported train_idx on FILTERED rows too
+    # (they are forced to 0): the documented invariant
+    # pts[i] == t_points[train_idx[i]] must hold on every row, and the
+    # XLA fallback path produces exactly t_points[0] there.
+    pts = jnp.where(keep[:, None], pts, t_points[0][None, :])
     m = Matches(
         query_idx=jnp.arange(d1.capacity, dtype=jnp.int32),
         train_idx=jnp.where(keep, best_idx.astype(jnp.int32), 0),

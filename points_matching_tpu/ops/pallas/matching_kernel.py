@@ -27,35 +27,33 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 
 
-def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
-                 best1, best2, idx1, idx2, *, gemm_dtype):
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+def _tile_dist(q, t, t2, gemm_dtype):
+    """Distance tile t2 − 2⟨q,t⟩ (‖q‖² is per-row constant — added once
+    at flush time; it does not change the top-2 order).
 
-    q = q_ref[:]                      # [TQ, D]
-    t = t_ref[:]                      # [TT, D]
-    # ‖q−t‖² = ‖q‖² + ‖t‖² − 2⟨q,t⟩; ‖q‖² is constant per row and does not
-    # change the top-2 order, so it is added once at flush time — the tile
-    # only needs ‖t‖² and the GEMM.  gemm_dtype='bf16' feeds the MXU its
-    # native operand width (f32 accumulation via preferred_element_type),
-    # matching the XLA path's compute_dtype semantics.
-    # compute_dtype='f32' must mean f32: at DEFAULT precision the TPU
-    # truncates f32 GEMM operands to bf16, silently giving the bf16 path
-    # (core/precision.py).  bf16 operands are single-pass either way.
-    d = t2_ref[:] - 2.0 * jax.lax.dot_general(
+    gemm_dtype='bf16' feeds the MXU its native operand width (f32
+    accumulation via preferred_element_type), matching the XLA path's
+    compute_dtype semantics.  compute_dtype='f32' must mean f32: at
+    DEFAULT precision the TPU truncates f32 GEMM operands to bf16,
+    silently giving the bf16 path (core/precision.py).
+    """
+    return t2 - 2.0 * jax.lax.dot_general(
         q.astype(gemm_dtype), t.astype(gemm_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=(jax.lax.Precision.HIGHEST
                    if gemm_dtype == jnp.float32 else
                    jax.lax.Precision.DEFAULT),
-    )                                  # [TQ, TT]
+    )
 
+
+def _tile_top2(d, j):
+    """Per-tile (m1, m2, g1, g2, i1_local): best / runner-up distance and
+    GLOBAL column indices; ties resolve to the lowest column."""
     tt = d.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     m1 = jnp.min(d, axis=1, keepdims=True)                     # [TQ, 1]
     is_min = d <= m1
-    # first column index attaining the min
     i1_local = jnp.min(jnp.where(is_min, col, tt), axis=1, keepdims=True)
     masked = jnp.where(col == i1_local, _BIG, d)
     m2 = jnp.min(masked, axis=1, keepdims=True)
@@ -63,6 +61,35 @@ def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
     i2_local = jnp.min(jnp.where(is_min2, col, tt), axis=1, keepdims=True)
     g1 = (j * tt + i1_local).astype(jnp.int32)
     g2 = (j * tt + i2_local).astype(jnp.int32)
+    return m1, m2, g1, g2, i1_local
+
+
+def _carry_duel(b1, b2, ix, ix2, m1, m2, g1, g2):
+    """Merge the running (best, second) carry with a new tile's top-2.
+
+    Runner-up = best of (loser of the b1/m1 duel, min(b2, m2)) — values
+    and indices tracked in lockstep so idx[:, 1] is the true 2-NN.
+    Returns (new_b1, new_b2, new_ix, new_i2, take1)."""
+    take1 = m1 < b1
+    new_b1 = jnp.minimum(b1, m1)
+    new_ix = jnp.where(take1, g1, ix)
+    loser_v = jnp.maximum(b1, m1)
+    loser_i = jnp.where(take1, ix, g1)
+    cand_v = jnp.minimum(b2, m2)
+    cand_i = jnp.where(m2 < b2, g2, ix2)
+    new_b2 = jnp.minimum(loser_v, cand_v)
+    new_i2 = jnp.where(loser_v < cand_v, loser_i, cand_i)
+    return new_b1, new_b2, new_ix, new_i2, take1
+
+
+def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
+                 best1, best2, idx1, idx2, *, gemm_dtype):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    q = q_ref[:]                      # [TQ, D]
+    d = _tile_dist(q, t_ref[:], t2_ref[:], gemm_dtype)         # [TQ, TT]
+    m1, m2, g1, g2, _ = _tile_top2(d, j)
 
     @pl.when(j == 0)
     def _():
@@ -73,20 +100,9 @@ def _top2_kernel(q_ref, t_ref, t2_ref, d_out, i_out,
 
     @pl.when(j > 0)
     def _():
-        b1 = best1[:]
-        b2 = best2[:]
-        ix = idx1[:]
-        ix2 = idx2[:]
-        new_b1 = jnp.minimum(b1, m1)
-        new_ix = jnp.where(m1 < b1, g1, ix)
-        # runner-up: best of (loser of the b1/m1 duel, min(b2, m2)) — track
-        # values and indices in lockstep so i_out[:, 1] is the true 2-NN.
-        loser_v = jnp.maximum(b1, m1)
-        loser_i = jnp.where(m1 < b1, ix, g1)
-        cand_v = jnp.minimum(b2, m2)
-        cand_i = jnp.where(m2 < b2, g2, ix2)
-        new_b2 = jnp.minimum(loser_v, cand_v)
-        new_i2 = jnp.where(loser_v < cand_v, loser_i, cand_i)
+        new_b1, new_b2, new_ix, new_i2, _ = _carry_duel(
+            best1[:], best2[:], idx1[:], idx2[:], m1, m2, g1, g2
+        )
         best1[:] = new_b1
         best2[:] = new_b2
         idx1[:] = new_ix
@@ -116,28 +132,10 @@ def _top2_points_kernel(q_ref, t_ref, t2_ref, tp_ref, d_out, i_out, p_out,
     nj = pl.num_programs(1)
 
     q = q_ref[:]
-    t = t_ref[:]
-    d = t2_ref[:] - 2.0 * jax.lax.dot_general(
-        q.astype(gemm_dtype), t.astype(gemm_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.HIGHEST
-                   if gemm_dtype == jnp.float32 else
-                   jax.lax.Precision.DEFAULT),
-    )
+    d = _tile_dist(q, t_ref[:], t2_ref[:], gemm_dtype)
+    m1, m2, g1, g2, i1_local = _tile_top2(d, j)
 
-    tt = d.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    m1 = jnp.min(d, axis=1, keepdims=True)
-    is_min = d <= m1
-    i1_local = jnp.min(jnp.where(is_min, col, tt), axis=1, keepdims=True)
-    masked = jnp.where(col == i1_local, _BIG, d)
-    m2 = jnp.min(masked, axis=1, keepdims=True)
-    is_min2 = masked <= m2
-    i2_local = jnp.min(jnp.where(is_min2, col, tt), axis=1, keepdims=True)
-    g1 = (j * tt + i1_local).astype(jnp.int32)
-    g2 = (j * tt + i2_local).astype(jnp.int32)
-
     onehot = (col == i1_local).astype(jnp.bfloat16)          # [TQ, TT]
     TP = tp_ref[:]                                           # [TT, Cp]
     bh = TP.astype(jnp.bfloat16)
@@ -161,19 +159,9 @@ def _top2_points_kernel(q_ref, t_ref, t2_ref, tp_ref, d_out, i_out, p_out,
 
     @pl.when(j > 0)
     def _():
-        b1 = best1[:]
-        b2 = best2[:]
-        ix = idx1[:]
-        ix2 = idx2[:]
-        take1 = m1 < b1
-        new_b1 = jnp.minimum(b1, m1)
-        new_ix = jnp.where(take1, g1, ix)
-        loser_v = jnp.maximum(b1, m1)
-        loser_i = jnp.where(take1, ix, g1)
-        cand_v = jnp.minimum(b2, m2)
-        cand_i = jnp.where(m2 < b2, g2, ix2)
-        new_b2 = jnp.minimum(loser_v, cand_v)
-        new_i2 = jnp.where(loser_v < cand_v, loser_i, cand_i)
+        new_b1, new_b2, new_ix, new_i2, take1 = _carry_duel(
+            best1[:], best2[:], idx1[:], idx2[:], m1, m2, g1, g2
+        )
         best1[:] = new_b1
         best2[:] = new_b2
         idx1[:] = new_ix

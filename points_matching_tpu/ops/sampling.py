@@ -36,13 +36,20 @@ def bilinear_sample(image: Array, xy: Array, fill: float = 0.0) -> Array:
         # (three shifted views — cheap VPU work) turns each sample into
         # ONE contiguous [1, 1, 4]-slice gather (r5: descriptor extraction
         # measured 14.3 → 8 ms-class at 512 kp × 484 samples).
-        pad = jnp.pad(image, ((0, 1), (0, 1)))
+        # Pad on BOTH sides so a base index of -1 (sample in [-1, 0)) has
+        # its own corner row/column: clipping -1 to 0 would read the
+        # (0, 1) neighborhood and return pixel (·, 1) for the in-bounds
+        # +1 tap instead of pixel (·, 0) — a full-magnitude wrong value
+        # on the top/left one-pixel fringe (caught in review; the
+        # out-of-bounds taps themselves are overwritten with ``fill``
+        # below either way).
+        pad = jnp.pad(image, ((1, 1), (1, 1)))
         corners = jnp.stack(
             [pad[:-1, :-1], pad[:-1, 1:], pad[1:, :-1], pad[1:, 1:]],
             axis=-1,
-        )  # [H, W, 4] = (v00, v01, v10, v11)
-        yc = jnp.clip(y0i, 0, H - 1)
-        xc = jnp.clip(x0i, 0, W - 1)
+        )  # [H+1, W+1, 4] = (v00, v01, v10, v11) at base (y-1, x-1)
+        yc = jnp.clip(y0i + 1, 0, H)
+        xc = jnp.clip(x0i + 1, 0, W)
         v = corners[yc, xc]                       # [..., 4]
 
         def inb(yi, xi):

@@ -199,3 +199,27 @@ class TestDescriptors:
         delta = np.asarray(p2 - p1)[valid]
         med = np.median(delta, axis=0)
         assert np.allclose(med, [shift[1], shift[0]], atol=1.0)
+
+
+def test_bilinear_sample_left_top_border_fringe():
+    """Regression (r5 review): samples with x or y in [-1, 0) must
+    interpolate toward pixel column/row 0, not column/row 1 — the packed
+    corner path originally clipped the base index and read the wrong
+    neighborhood on the one-pixel top/left fringe."""
+    from points_matching_tpu.ops.sampling import bilinear_sample
+
+    img = jnp.asarray([[10.0, 100.0, 200.0],
+                       [30.0, 40.0, 50.0],
+                       [60.0, 70.0, 80.0]])
+    # x = -0.25: taps at x0=-1 (fill=0) and x=0 with weight wx=0.75;
+    # reference value = 0.75 * img[0,0] = 7.5
+    v = float(bilinear_sample(img, jnp.asarray([[-0.25, 0.0]]))[0])
+    np.testing.assert_allclose(v, 7.5, atol=1e-6)
+    v = float(bilinear_sample(img, jnp.asarray([[1.0, -0.5]]))[0])
+    np.testing.assert_allclose(v, 0.5 * 100.0, atol=1e-6)
+    # interior unchanged
+    v = float(bilinear_sample(img, jnp.asarray([[0.5, 0.5]]))[0])
+    np.testing.assert_allclose(v, (10 + 100 + 30 + 40) / 4.0, atol=1e-5)
+    # bottom/right fringe
+    v = float(bilinear_sample(img, jnp.asarray([[2.5, 2.0]]))[0])
+    np.testing.assert_allclose(v, 0.5 * 80.0, atol=1e-6)
