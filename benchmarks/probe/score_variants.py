@@ -220,12 +220,29 @@ def build_fn_stacked(split, tile_h=128, tile_n=512):
     return score
 
 
+def build_fn_prod(tile_h, tile_n=512):
+    """Production kernel (ransac_kernel.ransac_score_hypotheses) at a
+    given tile size, fast mode — for the r5 tile sweep."""
+    from points_matching_tpu.ops.pallas.ransac_kernel import (
+        ransac_score_hypotheses,
+    )
+
+    def score(F_h, p1, p2, mask):
+        return ransac_score_hypotheses(
+            F_h, p1, p2, mask, 1.5, tile_h=tile_h, tile_n=tile_n,
+            exact=False)
+
+    return score
+
+
 def build_fn(variant, tile_h=128, tile_n=512):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if variant.startswith("prod_th"):
+        return build_fn_prod(int(variant.split("prod_th")[1]))
     if variant in ("ostack", "ostack3"):
         return build_fn_stacked(variant == "ostack3", tile_h, tile_n)
     kernel = make_kernel(variant)

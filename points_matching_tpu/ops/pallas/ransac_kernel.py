@@ -125,9 +125,9 @@ def ransac_score_hypotheses(
     p2: Array,
     mask: Array,
     threshold: float,
-    tile_h: int = 128,
-    tile_n: int = 512,
-    interpret: bool = False,
+    tile_h: int = 512,   # r5 on-chip sweep (score_variants.py prod_th*):
+    tile_n: int = 512,   # 2.99 µs/pair at 512 vs 3.27 at 128 — one grid
+    interpret: bool = False,  # step holds all [TH, TN] intermediates in VMEM
     exact: bool = True,
 ) -> Array:
     """Per-hypothesis inlier counts under the Sampson gate — fused on-chip.

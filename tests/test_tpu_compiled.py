@@ -172,3 +172,33 @@ def test_ransac_fundamental_compiled_quality():
     )
     n = int(est.num_inliers)
     assert n > 512 * 0.55, n
+
+
+def test_fused_l2_top2_points_compiled_parity():
+    """r5 fused matched-point output, compiled via Mosaic on the real
+    chip: indices must match the plain kernel and the emitted point must
+    equal the explicit gather of the 1-NN index (3-term bf16-split dot —
+    f32-rounding exact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from points_matching_tpu.ops.pallas.matching_kernel import (
+        fused_l2_top2, fused_l2_top2_points,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    n1, n2 = 512, 768
+    q = jax.random.normal(k1, (n1, 64))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    t = jax.random.normal(k2, (n2, 64))
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t_mask = jnp.arange(n2) < (n2 - 33)
+    t_pts = jax.random.uniform(k3, (n2, 2), minval=0.0, maxval=993.0)
+
+    d0, i0 = fused_l2_top2(q, t, t_mask)
+    d1, i1, pts = fused_l2_top2_points(q, t, t_mask, t_pts)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
+    ref = np.asarray(t_pts)[np.asarray(i1[:, 0])]
+    np.testing.assert_allclose(np.asarray(pts), ref, atol=1e-4)
