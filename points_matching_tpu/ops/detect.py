@@ -286,24 +286,39 @@ def detect_keypoints(
         # plateau lets multiple equal peaks through, and the per-block
         # max keeps one of them — deduplicating equal-score keypoints
         # 1 px apart, which is the desirable outcome (the full-volume
-        # top_k kept all copies).  lax.top_k is a bitonic sort of the
-        # whole volume on TPU (~8-10 of the 15 ms detection, r5 probe);
-        # sorting S·⌈H/2⌉·⌈W/2⌉ instead is ~4× cheaper.
+        # top_k kept all copies).
+        #
+        # The block max is a stride-2 reduce_window and the winning cell
+        # is recovered AFTER top-k by gathering each winner's 4 cells
+        # (TOPK_VARIANTS_r05 probe: the previous pad→reshape→transpose→
+        # argmax materialization cost ~3.3 ms/image — the 5-D transpose
+        # interleaves lanes — vs ~0 for reduce_window, which the NMS
+        # already showed is nearly free; 512×4 scalar gathers are ~µs).
         S = score_m.shape[0]
         H2, W2 = -(-H // 2), -(-W // 2)
         p = jnp.pad(score_m, ((0, 0), (0, 2 * H2 - H), (0, 2 * W2 - W)),
                     constant_values=-jnp.inf)
-        blk = p.reshape(S, H2, 2, W2, 2).transpose(0, 1, 3, 2, 4)
-        blk = blk.reshape(S, H2, W2, 4)
-        bmax = jnp.max(blk, axis=-1)
-        barg = jnp.argmax(blk, axis=-1).astype(jnp.int32)
+        bmax = lax.reduce_window(
+            p, -jnp.inf, lax.max, (1, 2, 2), (1, 2, 2), "VALID"
+        )  # [S, H2, W2]
         top_scores, bix = lax.top_k(bmax.reshape(-1), k)
         s_idx = bix // (H2 * W2)
         rem = bix % (H2 * W2)
-        la = barg.reshape(-1)[bix]
-        y_idx = (rem // W2) * 2 + (la >> 1)
-        x_idx = (rem % W2) * 2 + (la & 1)
-        top_idx = s_idx * (H * W) + y_idx * W + x_idx
+        yb = rem // W2
+        xb = rem % W2
+        # which of the winner's 4 cells held the max — same (0,0),(0,1),
+        # (1,0),(1,1) order and first-tie argmax as the old transposed
+        # [..., 4] layout
+        pf = p.reshape(-1)
+        Wp = 2 * W2
+        base = s_idx * (2 * H2 * Wp) + (2 * yb) * Wp + 2 * xb
+        cells = jnp.stack(
+            [pf[base], pf[base + 1], pf[base + Wp], pf[base + Wp + 1]],
+            axis=-1,
+        )  # [k, 4]
+        la = jnp.argmax(cells, axis=-1).astype(jnp.int32)
+        y_idx = yb * 2 + (la >> 1)
+        x_idx = xb * 2 + (la & 1)
     else:
         top_scores, top_idx = lax.top_k(score_m.reshape(-1), k)
         s_idx = top_idx // (H * W)
@@ -311,9 +326,26 @@ def detect_keypoints(
         y_idx = rem // W
         x_idx = rem % W
 
-    dx, dy = _subpixel_offsets(resp)
-    dxv = dx.reshape(-1)[top_idx]
-    dyv = dy.reshape(-1)[top_idx]
+    # Per-winner sub-pixel offsets from the winner's 4 response neighbors.
+    # The full-volume offset maps (+roll shifts) cost ~2.3 ms/image on-chip
+    # (TOPK_VARIANTS_r05) to produce k=512 useful values; 4 scalar gathers
+    # per winner are ~µs.  Values are identical for interior winners — the
+    # border mask (config.border ≥ nms_radius ≥ 1) keeps every VALID winner
+    # ≥ 1 px from the image edge, where the old roll-wrap and this clip
+    # agree; padded (invalid) rows differ only in masked-out lanes.
+    rf = resp.reshape(-1)
+    yc = jnp.clip(y_idx, 1, H - 2)
+    xc = jnp.clip(x_idx, 1, W - 2)
+    basec = s_idx * (H * W) + yc * W + xc
+    cur = rf[basec]
+
+    def _parab(prev, c, nxt):
+        denom = prev - 2.0 * c + nxt
+        off = 0.5 * (prev - nxt) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dxv = _parab(rf[basec - 1], cur, rf[basec + 1])
+    dyv = _parab(rf[basec - W], cur, rf[basec + W])
 
     xy = jnp.stack(
         [x_idx.astype(jnp.float32) + dxv, y_idx.astype(jnp.float32) + dyv], axis=-1
