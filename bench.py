@@ -613,7 +613,9 @@ def bench_e2e_pipeline(height=660, width=993, n_imgs=8):
     New in r5: the frontend was never benched (the head section consumes
     precomputed descriptors) and hid a 237 ms/image detector; after the
     shift-FMA conv + block-top-k + lattice-shared-Haar + packed-corner
-    rewrites the chain measures ~27 ms/pair.  Methodology: a scanned
+    rewrites the chain measured ~27 ms/pair, and ~15 ms/pair after the
+    strided-reduce_window/per-winner-gather/per-scale-top-k restructure
+    (DETECT_SLICES_r05_after).  Methodology: a scanned
     chain of dependent pipeline calls per dispatch, slope-timed like the
     other sections.
     """

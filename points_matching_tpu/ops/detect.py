@@ -301,9 +301,16 @@ def detect_keypoints(
         bmax = lax.reduce_window(
             p, -jnp.inf, lax.max, (1, 2, 2), (1, 2, 2), "VALID"
         )  # [S, H2, W2]
-        top_scores, bix = lax.top_k(bmax.reshape(-1), k)
-        s_idx = bix // (H2 * W2)
-        rem = bix % (H2 * W2)
+        # Exact top-k in two stages: per-scale batched top-k then a merge
+        # of the S·k survivors — every global top-k element is in its own
+        # scale's top-k, so the result set is identical to the flat sort.
+        # On-chip the [S, H2·W2] batched form runs 0.61 ms vs 2.04 for
+        # the flat [S·H2·W2] sort (same element count; the row-parallel
+        # sort tiles better), /tmp micro-probe r5.
+        ts, ti = lax.top_k(bmax.reshape(S, -1), k)       # [S, k]
+        top_scores, sel = lax.top_k(ts.reshape(-1), k)   # [k]
+        s_idx = sel // k
+        rem = ti.reshape(-1)[sel]                        # index in scale plane
         yb = rem // W2
         xb = rem % W2
         # which of the winner's 4 cells held the max — same (0,0),(0,1),
