@@ -50,7 +50,12 @@ def bilinear_sample(image: Array, xy: Array, fill: float = 0.0) -> Array:
         )  # [H+1, W+1, 4] = (v00, v01, v10, v11) at base (y-1, x-1)
         yc = jnp.clip(y0i + 1, 0, H)
         xc = jnp.clip(x0i + 1, 0, W)
-        v = corners[yc, xc]                       # [..., 4]
+        # flat 1-D index instead of 2-D advanced indexing: XLA lowers the
+        # two-index-vector gather with per-dimension bounds handling; the
+        # precomputed flat offset is one gather dimension and measured
+        # 1.75 → 1.14 ms/image on the 512 kp × 484-sample descriptor
+        # chain (r5 /tmp/desc_micro.py, bit-exact)
+        v = corners.reshape(-1, 4)[yc * (W + 1) + xc]  # [..., 4]
 
         def inb(yi, xi):
             return (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
